@@ -1,0 +1,226 @@
+"""Typed configuration for the TPU-native LSC swarm planner.
+
+Single-source-of-truth replacement for the reference's three-tier config stack
+(launch args -> ROS param server -> mission JSON); see reference
+``src/param.cpp:4-144`` and ``launch/simulation.launch:30-97`` for the canonical
+key set and defaults.  Mode-coherence rules mirror
+``src/traj_planner.cpp:427-475`` (checkPlannerMode).
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+import math
+from typing import Optional
+
+SP_EPSILON = 1e-9
+SP_EPSILON_FLOAT = 1e-6
+SP_INFINITY = 1e9
+
+
+class PlannerMode(enum.Enum):
+    LSC = "lsc"
+    BVC = "bvc"
+    ORCA = "orca"
+    RECIPROCAL_RSFC = "reciprocal_rsfc"
+
+
+class PredictionMode(enum.Enum):
+    POSITION = "current_position"
+    VELOCITY = "constant_velocity"
+    LINEAR_KALMAN_FILTER = "linear_kalman_filter"
+    ORACLE = "oracle"
+    ORCA = "orca"
+    PREVIOUS_SOLUTION = "previous_solution"
+
+
+class InitialTrajMode(enum.Enum):
+    GREEDY = "greedy"
+    ORCA = "orca"
+    POSITION = "current_position"
+    VELOCITY = "current_velocity"
+    PREVIOUS_SOLUTION = "previous_solution"
+    SKIP = "skip"
+
+
+class SlackMode(enum.Enum):
+    NONE = "none"
+    DYNAMICAL_LIMIT = "dynamical_limit"
+    COLLISION_CONSTRAINT = "collision_constraint"
+
+
+class GoalMode(enum.Enum):
+    STATIC = "static"
+    ORCA = "orca"
+    RIGHT_HAND = "right_hand"
+    PRIOR_BASED = "prior_based"
+
+
+class PlannerState(enum.Enum):
+    WAIT = 0
+    GOTO = 1
+    PATROL = 2
+    GOBACK = 3
+
+
+class PlanningReport(enum.Enum):
+    QP_FAILED = -2
+    WAIT_FOR_MSG = -1
+    INITIALIZED = 0
+    SUCCESS = 1
+
+
+@dataclasses.dataclass
+class Param:
+    """Planner parameters (reference ``include/param.hpp`` key-for-key).
+
+    Defaults follow ``launch/simulation.launch:30-97`` (the benchmark preset),
+    not the C++ fallback defaults, since every published result uses the
+    launch-file values.
+    """
+
+    # --- world (reference param.cpp:9-15) ---
+    world_frame_id: str = "world"
+    world_dimension: int = 3
+    world_use_octomap: bool = False
+    world_resolution: float = 0.1
+    world_z_2d: float = 1.0
+
+    # --- multisim (param.cpp:17-29) ---
+    multisim_planning_rate: float = -1.0
+    multisim_qn: int = 2
+    multisim_time_step: float = 0.2
+    multisim_patrol: bool = False
+    multisim_max_noise: float = 0.0
+    multisim_max_planner_iteration: int = 1000
+    multisim_save_result: bool = False
+    multisim_replay: bool = False
+    multisim_replay_file_name: str = "default.csv"
+    multisim_experiment: bool = False
+    multisim_record_time_step: float = 0.1
+    multisim_reset_threshold: float = 0.15
+
+    # --- modes (param.cpp:31-58) ---
+    planner_mode: PlannerMode = PlannerMode.LSC
+    prediction_mode: PredictionMode = PredictionMode.PREVIOUS_SOLUTION
+    initial_traj_mode: InitialTrajMode = InitialTrajMode.PREVIOUS_SOLUTION
+    slack_mode: SlackMode = SlackMode.NONE
+    goal_mode: GoalMode = GoalMode.PRIOR_BASED
+
+    # --- obstacle prediction (param.cpp:60-63) ---
+    obs_size_prediction: bool = True
+    obs_uncertainty_horizon: float = 1.0
+    obs_agent_clustering: bool = False
+
+    # --- trajectory representation (param.cpp:65-70) ---
+    dt: float = 0.2
+    horizon: float = 1.0
+    n: int = 5           # Bernstein degree
+    phi: int = 3         # derivative order minimized (jerk)
+    phi_n: int = 1
+
+    # --- optimization (param.cpp:72-76) ---
+    control_input_weight: float = 0.01
+    terminal_weight: float = 1.0
+    slack_collision_weight: float = 100000.0
+    N_constraint_segments: int = -1
+
+    # --- deadlock (param.cpp:78-80) ---
+    deadlock_velocity_threshold: float = 0.1
+    deadlock_seq_threshold: int = 5
+
+    # --- kalman filter (param.cpp:82-85) ---
+    filter_sigma_y_sq: float = 0.0036
+    filter_sigma_v_sq: float = 0.01
+    filter_sigma_a_sq: float = 1.0
+
+    # --- orca (param.cpp:87-90) ---
+    orca_horizon: float = 2.0
+    orca_pref_velocity_ratio: float = 1.0
+    orca_inflation_ratio: float = 1.0
+
+    # --- grid-based planner (param.cpp:92-94) ---
+    grid_resolution: float = 0.25
+    grid_margin: float = 0.1
+
+    # --- goal (param.cpp:96-99) ---
+    goal_threshold: float = 0.1
+    goal_radius: float = 2.0
+    priority_dist_threshold: float = 0.4
+
+    # --- debug ---
+    debug_stop_seq: int = -1
+    log: bool = False
+
+    # --- TPU-native extensions (no reference analog) ---
+    # Number of nearest-neighbour obstacles each agent constrains against.
+    # <=0 means "all other agents" (reference behaviour).  Spatial pruning is
+    # the CP/ring analog from SURVEY.md section 5.7 for 1000+ agent scaling.
+    max_neighbors: int = -1
+    # Batched QP interior-point iterations (static for jit).
+    qp_iterations: int = 20
+    # Batched convex-hull closest-point iterations (static for jit).
+    hull_iterations: int = 96
+    # Fixed iteration cap for SFC box expansion (per axis sweep).
+    sfc_expansion_cap: int = 256
+    # float dtype used on device
+    dtype: str = "float32"
+
+    @property
+    def M(self) -> int:
+        """Number of Bernstein segments (reference traj_planner.cpp:22)."""
+        return int((self.horizon + SP_EPSILON) / self.dt)
+
+    @property
+    def n_constraint_segments(self) -> int:
+        return self.M if self.N_constraint_segments < 0 else self.N_constraint_segments
+
+    def validated(self) -> "Param":
+        """Apply the mode-coherence rewrites of traj_planner.cpp:427-475."""
+        p = dataclasses.replace(self)
+        if p.planner_mode == PlannerMode.LSC:
+            if abs(p.multisim_time_step - p.dt) > SP_EPSILON_FLOAT:
+                raise ValueError(
+                    "LSC requires multisim_time_step == dt "
+                    "(traj_planner.cpp:434)")
+            p.prediction_mode = PredictionMode.PREVIOUS_SOLUTION
+            p.initial_traj_mode = InitialTrajMode.PREVIOUS_SOLUTION
+            p.slack_mode = SlackMode.NONE
+        elif p.planner_mode == PlannerMode.BVC:
+            p.prediction_mode = PredictionMode.POSITION
+            p.initial_traj_mode = InitialTrajMode.POSITION
+        elif p.planner_mode == PlannerMode.RECIPROCAL_RSFC:
+            p.slack_mode = SlackMode.COLLISION_CONSTRAINT
+        if p.n != 5 or p.phi != 3:
+            # reference traj_optimizer.cpp:204-207 hard-codes n=5/phi=3; we
+            # support general n via the generic basis code but flag deviation.
+            pass
+        return p
+
+    def planner_mode_str(self) -> str:
+        return {PlannerMode.LSC: "LSC", PlannerMode.BVC: "BVC",
+                PlannerMode.ORCA: "ORCA",
+                PlannerMode.RECIPROCAL_RSFC: "ReciprocalRSFC"}[self.planner_mode]
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Param":
+        kwargs = {}
+        enum_fields = {
+            "planner_mode": PlannerMode, "prediction_mode": PredictionMode,
+            "initial_traj_mode": InitialTrajMode, "slack_mode": SlackMode,
+            "goal_mode": GoalMode,
+        }
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        for k, v in d.items():
+            if k not in field_names:
+                raise KeyError(f"unknown param {k!r}")
+            if k in enum_fields and isinstance(v, str):
+                v = enum_fields[k](v)
+            kwargs[k] = v
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, path: str) -> "Param":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))

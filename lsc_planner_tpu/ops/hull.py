@@ -1,0 +1,148 @@
+"""Batched closest point between the origin and a small convex hull.
+
+TPU-native replacement for the reference's openGJK kernel
+(``src/openGJK/openGJK.cpp`` via ``closestPointsBetweenPointAndConvexHull``,
+``include/geometry.hpp:364-394``), which the planner calls once per
+(agent, obstacle, segment) triple to get LSC normal vectors
+(``src/traj_planner.cpp:2030-2043`` normalVectorBetweenPolys).
+
+Instead of a branchy sequential simplex walk, we exploit Caratheodory: in
+R^3 the minimum-norm point of conv(P) has support <= 4, so for the K = n+1
+(= 6) hull points we enumerate every subset of size 1..4, solve each
+equality-constrained subproblem
+
+    min || P_S^T lam ||^2   s.t.  1^T lam = 1        (bordered KKT system)
+
+as one fully-parallel batched linear solve, keep the lam >= 0 feasible ones
+(each is a point inside the hull, hence an upper bound; the true support is
+among them, hence exactness), and take the minimum.  Zero sequential steps,
+exact answer, thousands of instances per microsecond on the VPU/MXU.
+
+A FISTA fallback (accelerated projected gradient on the simplex) covers
+K > 8 where enumeration would blow up.
+"""
+from __future__ import annotations
+
+import itertools
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def project_simplex(v):
+    """Euclidean projection of v (..., K) onto the probability simplex."""
+    K = v.shape[-1]
+    u = jnp.sort(v, axis=-1)[..., ::-1]
+    css = jnp.cumsum(u, axis=-1)
+    j = jnp.arange(1, K + 1, dtype=v.dtype)
+    cond = u + (1.0 - css) / j > 0
+    rho = jnp.sum(cond.astype(jnp.int32), axis=-1)
+    css_rho = jnp.take_along_axis(css, (rho - 1)[..., None], axis=-1)[..., 0]
+    tau = (css_rho - 1.0) / rho.astype(v.dtype)
+    return jnp.maximum(v - tau[..., None], 0.0)
+
+
+@lru_cache(maxsize=None)
+def _subsets(K: int, k: int) -> np.ndarray:
+    return np.asarray(list(itertools.combinations(range(K), k)),
+                      dtype=np.int32)
+
+
+def _solve_subsets(points, subs):
+    """Solve the bordered min-norm systems for all subsets of one size.
+
+    points: (..., K, 3); subs: (S, k) static indices.
+    Returns (cand (..., S, 3), d2 (..., S), feasible (..., S)).
+    """
+    S, k = subs.shape
+    dtype = points.dtype
+    Ps = points[..., subs, :]                       # (..., S, k, 3)
+    G = jnp.einsum("...sid,...sjd->...sij", Ps, Ps)
+    ones = jnp.ones(G.shape[:-2] + (k, 1), dtype)
+    top = jnp.concatenate([G, ones], axis=-1)
+    bot = jnp.concatenate(
+        [jnp.swapaxes(ones, -1, -2),
+         jnp.zeros(G.shape[:-2] + (1, 1), dtype)], axis=-1)
+    M = jnp.concatenate([top, bot], axis=-2)        # (..., S, k+1, k+1)
+    rhs = jnp.concatenate([jnp.zeros(G.shape[:-2] + (k,), dtype),
+                           jnp.ones(G.shape[:-2] + (1,), dtype)], axis=-1)
+    # tiny Tikhonov keeps degenerate (affinely dependent) subsets finite;
+    # they are then simply dominated by a non-degenerate subset.
+    M = M + 1e-11 * jnp.eye(k + 1, dtype=dtype)
+    sol = jnp.linalg.solve(M, rhs[..., None])[..., 0]
+    lam = sol[..., :k]
+    feasible = jnp.all(lam > -1e-9, axis=-1) & \
+        jnp.all(jnp.isfinite(lam), axis=-1)
+    lam = jnp.clip(lam, 0.0, None)
+    lam = lam / jnp.maximum(jnp.sum(lam, axis=-1, keepdims=True), 1e-12)
+    cand = jnp.einsum("...sk,...skd->...sd", lam, Ps)
+    d2 = jnp.sum(cand * cand, axis=-1)
+    return cand, d2, feasible
+
+
+def closest_point_to_hull(points, iters: int = 0, max_support: int = 4):
+    """Exact closest point of conv(points) to the origin, batched.
+
+    points: (..., K, 3).  Returns (closest (..., 3), dist (...,)).
+    `iters` is accepted for API compatibility; the enumeration path is
+    exact and iteration-free for K <= 8 (K > 8 falls back to FISTA).
+    """
+    K = points.shape[-2]
+    if K > 8:
+        return _closest_point_fista(points, iters=max(iters, 256))
+    cands, d2s, feas = [], [], []
+    for k in range(1, min(K, max_support) + 1):
+        subs = jnp.asarray(_subsets(K, k))
+        c, d2, f = _solve_subsets(points, subs)
+        cands.append(c)
+        d2s.append(d2)
+        feas.append(f)
+    cand = jnp.concatenate(cands, axis=-2)           # (..., T, 3)
+    d2 = jnp.concatenate(d2s, axis=-1)               # (..., T)
+    feas = jnp.concatenate(feas, axis=-1)
+    d2 = jnp.where(feas, d2, jnp.inf)
+    best = jnp.argmin(d2, axis=-1)
+    closest = jnp.take_along_axis(cand, best[..., None, None].repeat(3, -1),
+                                  axis=-2)[..., 0, :]
+    dist = jnp.sqrt(jnp.take_along_axis(d2, best[..., None], axis=-1)
+                    )[..., 0]
+    return closest, dist
+
+
+def _closest_point_fista(points, iters: int = 256):
+    """Accelerated projected-gradient fallback for larger K."""
+    G = jnp.einsum("...id,...jd->...ij", points, points)
+    K = G.shape[-1]
+    L = 2.0 * jnp.sqrt(jnp.sum(G * G, axis=(-2, -1)) + 1e-30)
+    step = (1.0 / L)[..., None]
+    lam0 = jnp.full(G.shape[:-1], 1.0 / K, dtype=G.dtype)
+
+    def body(carry, _):
+        lam, y, t = carry
+        grad = 2.0 * jnp.einsum("...ij,...j->...i", G, y)
+        lam_new = project_simplex(y - step * grad)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        y_new = lam_new + ((t - 1.0) / t_new) * (lam_new - lam)
+        return (lam_new, y_new, t_new), None
+
+    (lam, _, _), _ = jax.lax.scan(
+        body, (lam0, lam0, jnp.ones((), G.dtype)), None, length=iters)
+    closest = jnp.einsum("...i,...id->...d", lam, points)
+    return closest, jnp.linalg.norm(closest, axis=-1)
+
+
+def hull_normal(points, iters: int = 0, eps: float = 1e-10):
+    """Unit vector from the origin toward the hull's closest point.
+
+    This is the LSC normal when `points` are the relative control points
+    agent - obstacle (traj_planner.cpp:2030-2043).  Degenerate (origin
+    inside hull) falls back to +x like the reference's zero-norm heuristic.
+    """
+    closest, dist = closest_point_to_hull(points, iters=iters)
+    safe = dist[..., None] > eps
+    fallback = jnp.zeros_like(closest).at[..., 0].set(1.0)
+    normal = jnp.where(safe, closest / jnp.maximum(dist[..., None], eps),
+                       fallback)
+    return normal, dist

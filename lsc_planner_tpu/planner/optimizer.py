@@ -1,0 +1,419 @@
+"""Trajectory-QP assembly: batched min-jerk Bernstein optimization.
+
+Re-designs the reference TrajOptimizer (``src/traj_optimizer.cpp``) for TPU:
+
+ * The reference keeps all M*(n+1)*dim control points as CPLEX variables and
+   adds phi + (M-1)*phi equality rows per dimension (buildAeqBase,
+   traj_optimizer.cpp:186-236).  Here the equalities (initial-state pin +
+   C^{phi-1} continuity + the LSC stop-at-horizon rows,
+   traj_optimizer.cpp:529-536) are eliminated analytically at setup:
+   x = F y + G s0, shrinking the per-agent KKT system from 90+45 to ~39
+   variables and guaranteeing the equalities exactly.
+ * Cost (buildQBase:169-184 + terminal goal tracking :354-372) and all
+   inequality rows (world bounds :274-303, LSC/SFC :407-466, dynamic
+   feasibility :469-525) are assembled as fixed-shape batched tensors with
+   row masks, then handed to the batched interior-point solver in
+   ``ops/qp.py``.
+
+Per-agent problems are identical in structure, so one jit covers the whole
+swarm; everything static (F, G, Q, row templates) is float64 numpy computed
+once per Param.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Param, PlannerMode, SP_EPSILON
+from ..ops import bernstein as bz
+from ..ops import qp as qp_ops
+
+
+class PlaneConstraints(NamedTuple):
+    """Unified half-space rows applied per control point.
+
+    normal: (N, C, M, 3)     rows  n . x_{m,i} >= rhs_{m,i}
+    rhs:    (N, C, M, n+1)
+    mask:   (N, C, M)        constraint-active mask (i-skip applied inside)
+    LSC rows use C = number of obstacles; SFC box faces are appended as 6
+    extra pseudo-obstacles whose normals are +-e_k.
+    """
+    normal: jnp.ndarray
+    rhs: jnp.ndarray
+    mask: jnp.ndarray
+
+
+class QPResult(NamedTuple):
+    traj: jnp.ndarray        # (N, M, n+1, 3)
+    cost: jnp.ndarray        # (N,)
+    primal_res: jnp.ndarray  # (N,) max constraint violation of the solution
+    gap: jnp.ndarray         # (N,) complementarity
+    y: jnp.ndarray           # (N, nv) raw solution (warm-start handle)
+
+
+def _build_equality_basis(M: int, n: int, phi: int, dt: float,
+                          stop_at_horizon: bool):
+    """Return (F, G, free_cols) with x_dim = F @ y_dim + G @ [p0, v0, a0].
+
+    x_dim layout: index (m, i) -> m*(n+1)+i, matching the reference variable
+    order (traj_optimizer.cpp:72-74).  Equality rows follow buildAeqBase
+    (traj_optimizer.cpp:186-236); derivation notes: the i-th start/end
+    derivative of segment m is dt^{-i} * n!/(n-i)! * (forward/backward
+    difference of order i), which pins c[m][0..phi-1] given the previous
+    segment (or the initial state for m=0).
+    """
+    nv = M * (n + 1)
+
+    def col(m, i):
+        return m * (n + 1) + i
+
+    # difference matrices A_0 (start) and A_T (end): row j = j-th order
+    # forward/backward difference coefficients (traj_optimizer.cpp:190-203
+    # hard-codes these for n=5; we generate them for any n).
+    A0 = np.zeros((phi, n + 1))
+    AT = np.zeros((phi, n + 1))
+    for j in range(phi):
+        for t in range(j + 1):
+            A0[j, t] = (-1.0) ** (j - t) * bz.nchoosek(j, t)
+            AT[j, n - t] = (-1.0) ** t * bz.nchoosek(j, t)
+
+    n_eq = phi + (M - 1) * phi
+    E = np.zeros((n_eq, nv))
+    # initial-state rows: dt^{-j} * fallfac(n, j) * A0 . c^0 = d_j
+    for j in range(phi):
+        fall = 1.0
+        for t in range(j):
+            fall *= (n - t)
+        E[j, col(0, 0):col(0, n + 1)] = dt ** (-j) * fall * A0[j]
+    # continuity rows between segment m-1 and m
+    for m in range(1, M):
+        for j in range(phi):
+            fall = 1.0
+            for t in range(j):
+                fall *= (n - t)
+            r = phi + (m - 1) * phi + j
+            E[r, col(m - 1, 0):col(m - 1, n + 1)] = dt ** (-j) * fall * AT[j]
+            E[r, col(m, 0):col(m, n + 1)] = -(dt ** (-j)) * fall * A0[j]
+
+    det_cols = [col(m, i) for m in range(M) for i in range(phi)]
+    free_cols = [col(m, i) for m in range(M) for i in range(phi, n + 1)]
+    Edd = E[:, det_cols]
+    Edf = E[:, free_cols]
+    Edd_inv = np.linalg.inv(Edd)
+
+    nf = len(free_cols)
+    F = np.zeros((nv, nf))
+    G = np.zeros((nv, phi))
+    F[det_cols, :] = -Edd_inv @ Edf
+    for k, c in enumerate(free_cols):
+        F[c, k] = 1.0
+    # deq = [p0, v0, a0, 0, ...] (buildDeq, traj_optimizer.cpp:239-259)
+    G[det_cols, :] = Edd_inv[:, :phi]
+
+    if stop_at_horizon:
+        # LSC stop-at-horizon rows (traj_optimizer.cpp:529-536):
+        # c[M-1][n] == c[M-1][n-i] for i = 1..phi-1, i.e. the last phi
+        # endpoint control points of the final segment coincide.  For
+        # n >= 2*phi - 1 (n=5, phi=3 included) the tied set lies entirely
+        # inside the free vars, so the reduction is a column merge.
+        n_free_seg = n + 1 - phi
+        keep = nf - n_free_seg            # free vars of segments 0..M-2
+        n_untied = n + 1 - 2 * phi        # free vars below the tied set
+        if n_untied < 0:
+            raise NotImplementedError("stop-at-horizon needs n >= 2*phi-1")
+        nf_red = keep + n_untied + 1
+        R = np.zeros((nf, nf_red))
+        for k in range(keep + n_untied):
+            R[k, k] = 1.0
+        for k in range(keep + n_untied, nf):
+            R[k, nf_red - 1] = 1.0
+        F = F @ R
+
+    return F, G, free_cols
+
+
+@dataclasses.dataclass
+class TrajOptimizer:
+    """Static QP structure for a given Param (built once, jit-friendly)."""
+    param: Param
+
+    @cached_property
+    def M(self):
+        return self.param.M
+
+    @cached_property
+    def n(self):
+        return self.param.n
+
+    @cached_property
+    def dim(self):
+        return 3  # state kept 3-D; 2-D worlds pin z via world bounds
+
+    @cached_property
+    def _FG(self):
+        stop = self.param.planner_mode == PlannerMode.LSC
+        return _build_equality_basis(self.M, self.n, self.param.phi,
+                                     self.param.dt, stop)
+
+    @property
+    def F(self) -> np.ndarray:
+        return self._FG[0]
+
+    @property
+    def G(self) -> np.ndarray:
+        return self._FG[1]
+
+    @cached_property
+    def nf(self) -> int:
+        return self.F.shape[1]
+
+    @cached_property
+    def nv(self) -> int:
+        return self.dim * self.nf
+
+    @cached_property
+    def Q_full(self) -> np.ndarray:
+        """Block-diagonal per-segment jerk Gram, (M(n+1), M(n+1))."""
+        Qb = bz.q_base(self.n, self.param.phi, self.param.phi_n,
+                       self.param.dt)
+        return np.kron(np.eye(self.M), Qb)
+
+    @cached_property
+    def FQF(self) -> np.ndarray:
+        return self.F.T @ self.Q_full @ self.F
+
+    @cached_property
+    def FQ(self) -> np.ndarray:
+        return self.F.T @ self.Q_full        # (nf, nv_x)
+
+    @cached_property
+    def endpoint_rows(self) -> np.ndarray:
+        """U[m] = F[(m, n), :] -- y-space row of each segment endpoint."""
+        idx = [m * (self.n + 1) + self.n for m in range(self.M)]
+        return self.F[idx, :]                # (M, nf)
+
+    @cached_property
+    def G_endpoint(self) -> np.ndarray:
+        idx = [m * (self.n + 1) + self.n for m in range(self.M)]
+        return self.G[idx, :]                # (M, phi)
+
+    @cached_property
+    def F_seg(self) -> np.ndarray:
+        return self.F.reshape(self.M, self.n + 1, self.nf)
+
+    @cached_property
+    def G_seg(self) -> np.ndarray:
+        return self.G.reshape(self.M, self.n + 1, 3)
+
+    # ------------------------------------------------------------------
+    # static inequality row templates in x-space (per dimension)
+    # ------------------------------------------------------------------
+    @cached_property
+    def static_rows(self):
+        """(A_x (R, dim, nvx), kind_info) for world bounds + dynamics.
+
+        kind rows reference: bounds traj_optimizer.cpp:274-303 (variable
+        bounds), velocity :472-491, acceleration :494-523.  b is assembled
+        per agent at trace time from (world_min/max, max_vel, max_acc).
+        """
+        M, n, phi, dim = self.M, self.n, self.param.phi, self.dim
+        dt = self.param.dt
+        nvx = M * (n + 1)
+
+        rows = []          # (coeff row (dim, nvx), kind, k, sign)
+        def col(m, i):
+            return m * (n + 1) + i
+
+        # world bounds: +-x_{k,m,i}, skip m=0 & i<phi
+        for k in range(dim):
+            for m in range(M):
+                for i in range(n + 1):
+                    if m == 0 and i < phi:
+                        continue
+                    a = np.zeros((dim, nvx))
+                    a[k, col(m, i)] = 1.0
+                    rows.append((a, "lb", k, +1))
+                    rows.append((-a, "ub", k, -1))
+
+        # velocity rows: +-(n/dt)(c_{i+1} - c_i) <= vmax, skip m=0,i<2
+        for k in range(dim):
+            for m in range(M):
+                for i in range(n):
+                    if m == 0 and i in (0, 1):
+                        continue
+                    a = np.zeros((dim, nvx))
+                    a[k, col(m, i + 1)] = n / dt
+                    a[k, col(m, i)] = -n / dt
+                    rows.append((-a, "vel", k, 0))
+                    rows.append((a, "vel", k, 0))
+
+        # acceleration rows, skip m=0,i=0
+        for k in range(dim):
+            for m in range(M):
+                for i in range(n - 1):
+                    if m == 0 and i == 0:
+                        continue
+                    a = np.zeros((dim, nvx))
+                    c2 = n * (n - 1) / dt ** 2
+                    a[k, col(m, i + 2)] = c2
+                    a[k, col(m, i + 1)] = -2 * c2
+                    a[k, col(m, i)] = c2
+                    rows.append((-a, "acc", k, 0))
+                    rows.append((a, "acc", k, 0))
+
+        A_x = np.stack([r[0] for r in rows])        # (R, dim, nvx)
+        kinds = [(r[1], r[2]) for r in rows]
+        return A_x, kinds
+
+    @cached_property
+    def A_static_y(self) -> np.ndarray:
+        """Static rows mapped to y-space, (R_s, nv)."""
+        A_x, _ = self.static_rows
+        Ay = np.einsum("rkp,pf->rkf", A_x, self.F)
+        return Ay.reshape(A_x.shape[0], self.nv)
+
+    def static_b(self, world_min, world_max, max_vel, max_acc, gx):
+        """Per-agent rhs for the static rows.
+
+        gx: (N, dim, nvx) = G @ s0 contribution per dimension.
+        Returns (N, R_s).
+        """
+        A_x, kinds = self.static_rows
+        A_xj = jnp.asarray(A_x, dtype=gx.dtype)
+        base = []
+        for kind, k in kinds:
+            if kind == "lb":
+                base.append(("w", k, +1))
+            elif kind == "ub":
+                base.append(("w", k, -1))
+            elif kind == "vel":
+                base.append(("v", k, 0))
+            else:
+                base.append(("a", k, 0))
+        # b0 per row from per-agent limits
+        b_list = []
+        for kind, k, s in base:
+            if kind == "w" and s > 0:
+                b_list.append(jnp.broadcast_to(world_min[k], gx.shape[:1]))
+            elif kind == "w":
+                b_list.append(jnp.broadcast_to(-world_max[k], gx.shape[:1]))
+            elif kind == "v":
+                b_list.append(-max_vel[:, k])
+            else:
+                b_list.append(-max_acc[:, k])
+        b0 = jnp.stack(b_list, axis=-1)             # (N, R_s)
+        corr = jnp.einsum("rkp,nkp->nr", A_xj, gx)
+        return b0 - corr
+
+    # ------------------------------------------------------------------
+    # per-cycle assembly + solve
+    # ------------------------------------------------------------------
+    def solve(self, pos, vel, acc, current_goal, nominal_velocity,
+              max_vel, max_acc, planes: PlaneConstraints,
+              world_min, world_max, y_warm: Optional[jnp.ndarray] = None,
+              dtype=jnp.float32) -> QPResult:
+        """Assemble and solve the swarm QP.
+
+        pos/vel/acc/current_goal: (N, 3); max_vel/max_acc: (N, 3);
+        planes: LSC+SFC half-space rows.  Returns batched trajectories.
+        """
+        p = self.param
+        N = pos.shape[0]
+        M, n, phi, dim = self.M, self.n, p.phi, self.dim
+        nf, nv = self.nf, self.nv
+
+        F = jnp.asarray(self.F, dtype)
+        FQF = jnp.asarray(self.FQF, dtype)
+        FQ = jnp.asarray(self.FQ, dtype)
+        U = jnp.asarray(self.endpoint_rows, dtype)      # (M, nf)
+        G = jnp.asarray(self.G, dtype)                  # (nvx, 3)
+        F_seg = jnp.asarray(self.F_seg, dtype)          # (M, n+1, nf)
+
+        # per-dim init vector [p0_k, v0_k, a0_k]
+        s0 = jnp.stack([pos, vel, acc], axis=1)         # (N, phi, 3)
+        s0 = jnp.swapaxes(s0, 1, 2)                     # (N, dim, phi)
+        gx = jnp.einsum("pj,nkj->nkp", G, s0)           # (N, dim, nvx)
+        g_seg = gx.reshape(N, dim, M, n + 1)
+
+        # --- terminal weight mask (getTerminalSegments,
+        #     traj_optimizer.cpp:541-548) ---
+        dist_to_goal = jnp.linalg.norm(current_goal - pos, axis=-1)
+        ideal_time = dist_to_goal / jnp.maximum(nominal_velocity, 1e-6)
+        T = jnp.maximum(
+            jnp.floor((M * p.dt - ideal_time + SP_EPSILON) / p.dt), 1.0)
+        T = jnp.clip(T, 1.0, M).astype(jnp.int32)       # (N,)
+        m_idx = jnp.arange(M)
+        tmask = (m_idx[None, :] >= (M - T)[:, None]).astype(dtype)  # (N, M)
+
+        # --- cost: P (N, dim, nf, nf) block-diag, q (N, dim, nf) ---
+        w_ci = p.control_input_weight
+        w_t = p.terminal_weight
+        P_ci = 2.0 * w_ci * FQF                               # (nf, nf)
+        P_term = 2.0 * w_t * jnp.einsum("nm,mf,mg->nfg", tmask, U, U)
+        P_dimblk = P_ci[None, None] + P_term[:, None]          # (N,1,nf,nf)
+        P_dimblk = jnp.broadcast_to(P_dimblk, (N, dim, nf, nf))
+
+        g_end = g_seg[..., :, n]                               # (N, dim, M)
+        q_ci = 2.0 * w_ci * jnp.einsum("fp,nkp->nkf", FQ, gx)
+        q_term = 2.0 * w_t * jnp.einsum(
+            "nm,mf,nkm->nkf", tmask, U, g_end - current_goal[..., None])
+        q = (q_ci + q_term).reshape(N, nv)
+
+        # expand block-diagonal P to (N, nv, nv)
+        P = jnp.zeros((N, nv, nv), dtype)
+        for k in range(dim):
+            P = P.at[:, k * nf:(k + 1) * nf, k * nf:(k + 1) * nf].set(
+                P_dimblk[:, k])
+
+        # --- plane (LSC/SFC) rows ---
+        normal, rhs, cmask = planes.normal, planes.rhs, planes.mask
+        C = normal.shape[1]
+        # A row for (c, m, i): concat_k normal_k * F_seg[m, i]
+        A_pl = jnp.einsum("ncmk,mif->ncmikf", normal.astype(dtype), F_seg)
+        A_pl = A_pl.reshape(N, C * M * (n + 1), nv)
+        b_pl = rhs.astype(dtype) - jnp.einsum(
+            "ncmk,nkmi->ncmi", normal.astype(dtype), g_seg)
+        b_pl = b_pl.reshape(N, C * M * (n + 1))
+        i_idx = jnp.arange(n + 1)
+        iskip = (m_idx[:, None] > 0) | (i_idx[None, :] >= phi)  # (M, n+1)
+        ncs_mask = m_idx < p.n_constraint_segments               # (M,)
+        mask_pl = (cmask[..., None] & iskip[None, None] &
+                   ncs_mask[None, None, :, None])
+        mask_pl = mask_pl.reshape(N, C * M * (n + 1))
+
+        # --- static rows ---
+        A_st = jnp.broadcast_to(jnp.asarray(self.A_static_y, dtype)[None],
+                                (N,) + self.A_static_y.shape)
+        b_st = self.static_b(jnp.asarray(world_min, dtype),
+                             jnp.asarray(world_max, dtype),
+                             max_vel.astype(dtype), max_acc.astype(dtype),
+                             gx)
+        mask_st = jnp.ones(b_st.shape, dtype=bool)
+
+        A = jnp.concatenate([A_st, A_pl], axis=1)
+        b = jnp.concatenate([b_st, b_pl], axis=1)
+        mask = jnp.concatenate([mask_st, mask_pl], axis=1)
+
+        sol = qp_ops.solve_qp(P, q, A, b, mask=mask, y0=y_warm,
+                              iters=p.qp_iterations)
+
+        # --- recover control points ---
+        y_dims = sol.y.reshape(N, dim, nf)
+        x = jnp.einsum("pf,nkf->nkp", F, y_dims) + gx     # (N, dim, nvx)
+        traj = x.reshape(N, dim, M, n + 1).transpose(0, 2, 3, 1)
+
+        # cost in x-space for CPLEX-objective parity
+        Qf = jnp.asarray(self.Q_full, dtype)
+        cost_ci = w_ci * jnp.einsum("nkp,pq,nkq->n", x, Qf, x)
+        endpoints = traj[:, :, n, :]                       # (N, M, 3)
+        cost_term = w_t * jnp.einsum(
+            "nm,nmk->n", tmask, (endpoints - current_goal[:, None]) ** 2)
+        cost = cost_ci + cost_term
+
+        return QPResult(traj=traj, cost=cost, primal_res=sol.primal_res,
+                        gap=sol.gap, y=sol.y)

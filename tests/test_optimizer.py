@@ -1,0 +1,146 @@
+"""Tests for the QP assembly (equality elimination + row construction)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsc_planner_tpu.config import Param, PlannerMode
+from lsc_planner_tpu.ops import bernstein as bz
+from lsc_planner_tpu.planner import optimizer as opt
+
+
+def _param(**kw):
+    return Param(**kw).validated()
+
+
+def test_elimination_satisfies_equalities(rng):
+    """x = F y + G s0 must satisfy the initial-state pin, C^2 continuity,
+    and (LSC) the stop-at-horizon tie (traj_optimizer.cpp:186-236,529-536).
+    """
+    M, n, phi, dt = 5, 5, 3, 0.2
+    F, G, _ = opt._build_equality_basis(M, n, phi, dt, stop_at_horizon=True)
+    y = rng.normal(size=(F.shape[1],))
+    s0 = np.array([0.7, -0.3, 1.1])
+    x = (F @ y + G @ s0).reshape(M, n + 1)
+
+    # initial state: derivatives at t=0
+    np.testing.assert_allclose(x[0, 0], s0[0], atol=1e-10)
+    np.testing.assert_allclose(n / dt * (x[0, 1] - x[0, 0]), s0[1],
+                               atol=1e-9)
+    np.testing.assert_allclose(
+        n * (n - 1) / dt ** 2 * (x[0, 2] - 2 * x[0, 1] + x[0, 0]), s0[2],
+        atol=1e-8)
+    # continuity across segments
+    for m in range(1, M):
+        np.testing.assert_allclose(x[m, 0], x[m - 1, n], atol=1e-10)
+        np.testing.assert_allclose(x[m, 1] - x[m, 0],
+                                   x[m - 1, n] - x[m - 1, n - 1], atol=1e-9)
+        np.testing.assert_allclose(
+            x[m, 2] - 2 * x[m, 1] + x[m, 0],
+            x[m - 1, n] - 2 * x[m - 1, n - 1] + x[m - 1, n - 2], atol=1e-9)
+    # stop at horizon
+    np.testing.assert_allclose(x[M - 1, n], x[M - 1, n - 1], atol=1e-10)
+    np.testing.assert_allclose(x[M - 1, n], x[M - 1, n - 2], atol=1e-10)
+
+
+def test_free_variable_count():
+    F, _, _ = opt._build_equality_basis(5, 5, 3, 0.2, stop_at_horizon=False)
+    assert F.shape == (30, 15)
+    F2, _, _ = opt._build_equality_basis(5, 5, 3, 0.2, stop_at_horizon=True)
+    assert F2.shape == (30, 13)
+
+
+def _empty_planes(N, C, M, n):
+    return opt.PlaneConstraints(
+        normal=jnp.zeros((N, C, M, 3)),
+        rhs=jnp.full((N, C, M, n + 1), -1.0),
+        mask=jnp.zeros((N, C, M), dtype=bool))
+
+
+def test_unconstrained_goal_seek(rng):
+    """Single agent, no LSC planes: optimum should head toward the goal and
+    respect velocity limits and world bounds."""
+    p = _param()
+    topt = opt.TrajOptimizer(p)
+    N = 2
+    pos = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 1.0, 1.0]])
+    vel = jnp.zeros((N, 3))
+    acc = jnp.zeros((N, 3))
+    goal = jnp.asarray([[2.0, 0.0, 1.0], [1.0, 1.0, 1.0]])
+    res = topt.solve(
+        pos, vel, acc, goal,
+        nominal_velocity=jnp.ones(N),
+        max_vel=jnp.ones((N, 3)), max_acc=2.0 * jnp.ones((N, 3)),
+        planes=_empty_planes(N, 1, p.M, p.n),
+        world_min=jnp.asarray([-5.0, -5, 0]),
+        world_max=jnp.asarray([5.0, 5, 2.5]),
+        dtype=jnp.float64)
+    traj = np.asarray(res.traj)
+    # starts at pos
+    np.testing.assert_allclose(traj[:, 0, 0, :], np.asarray(pos), atol=1e-6)
+    # agent 1 already at goal: stays (tight tolerance on endpoint)
+    np.testing.assert_allclose(traj[1, -1, -1, :], [1, 1, 1], atol=1e-4)
+    # agent 0 moves toward goal in x (one cycle moves a fraction of the way:
+    # only the last endpoint carries terminal weight when far from goal)
+    assert traj[0, -1, -1, 0] > 0.2
+    assert abs(traj[0, -1, -1, 1]) < 1e-4
+    # velocity control points within limits (+ small numerical slack)
+    vel_cp = np.diff(traj, axis=2) * p.n / p.dt
+    assert np.abs(vel_cp).max() < 1.0 + 1e-5
+    # stop at horizon: last three control points equal
+    np.testing.assert_allclose(traj[:, -1, -1, :], traj[:, -1, -2, :],
+                               atol=1e-9)
+    np.testing.assert_allclose(traj[:, -1, -1, :], traj[:, -1, -3, :],
+                               atol=1e-9)
+
+
+def test_lsc_plane_respected(rng):
+    """A separating plane between two head-on agents must hold at every
+    control point of the solution."""
+    p = _param()
+    topt = opt.TrajOptimizer(p)
+    N = 1
+    pos = jnp.asarray([[0.0, 0.0, 1.0]])
+    goal = jnp.asarray([[3.0, 0.0, 1.0]])
+    # plane: x <= 0.15  =>  normal (-1,0,0), rhs = -0.15 (binding: the
+    # unconstrained one-cycle optimum reaches x ~ 0.35)
+    normal = jnp.zeros((N, 1, p.M, 3)).at[..., 0].set(-1.0)
+    rhs = jnp.full((N, 1, p.M, p.n + 1), -0.15)
+    planes = opt.PlaneConstraints(normal=normal, rhs=rhs,
+                                  mask=jnp.ones((N, 1, p.M), dtype=bool))
+    res = topt.solve(
+        pos, jnp.zeros((N, 3)), jnp.zeros((N, 3)), goal,
+        nominal_velocity=jnp.ones(N),
+        max_vel=jnp.ones((N, 3)), max_acc=2 * jnp.ones((N, 3)),
+        planes=planes,
+        world_min=jnp.asarray([-5.0, -5, 0]),
+        world_max=jnp.asarray([5.0, 5, 2.5]), dtype=jnp.float64)
+    traj = np.asarray(res.traj)
+    assert traj[..., 0].max() <= 0.15 + 1e-6
+    # pushes right up against the plane to get near the goal
+    assert traj[0, -1, -1, 0] > 0.15 - 1e-3
+
+
+def test_qp_cost_matches_manual(rng):
+    p = _param()
+    topt = opt.TrajOptimizer(p)
+    pos = jnp.asarray([[0.0, 0.0, 1.0]])
+    goal = jnp.asarray([[1.0, 0.5, 1.2]])
+    res = topt.solve(
+        pos, jnp.zeros((1, 3)), jnp.zeros((1, 3)), goal,
+        nominal_velocity=jnp.ones(1),
+        max_vel=jnp.ones((1, 3)), max_acc=2 * jnp.ones((1, 3)),
+        planes=_empty_planes(1, 1, p.M, p.n),
+        world_min=jnp.asarray([-5.0, -5, 0]),
+        world_max=jnp.asarray([5.0, 5, 2.5]), dtype=jnp.float64)
+    traj = np.asarray(res.traj)[0]              # (M, n+1, 3)
+    Q = bz.q_base(p.n, p.phi, p.phi_n, p.dt)
+    jerk_cost = sum(float(traj[m, :, k] @ Q @ traj[m, :, k])
+                    for m in range(p.M) for k in range(3))
+    # terminal segments: agent 1m from goal, nominal 1 m/s, horizon 1s ->
+    # ideal time ~1.118 > (M-1)*dt .. compute same way
+    dist = float(np.linalg.norm(np.asarray(goal)[0] - np.asarray(pos)[0]))
+    T = max(int((p.M * p.dt - dist / 1.0 + 1e-9) / p.dt), 1)
+    term = sum(float(np.sum((traj[m, -1] - np.asarray(goal)[0]) ** 2))
+               for m in range(p.M - T, p.M))
+    manual = p.control_input_weight * jerk_cost + p.terminal_weight * term
+    np.testing.assert_allclose(float(res.cost[0]), manual, rtol=1e-9)

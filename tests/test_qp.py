@@ -1,0 +1,98 @@
+"""Tests for the batched interior-point QP solver."""
+import jax.numpy as jnp
+import numpy as np
+
+from lsc_planner_tpu.ops import qp
+
+
+def make_qp_with_known_solution(rng, nv=12, nr=30, n_active=5):
+    """Construct (P, q, A, b) whose optimum is a chosen y* via KKT."""
+    L = rng.normal(size=(nv, nv))
+    P = L @ L.T + nv * np.eye(nv)
+    A = rng.normal(size=(nr, nv))
+    y_star = rng.normal(size=(nv,))
+    lam = np.zeros(nr)
+    lam[:n_active] = rng.uniform(0.5, 2.0, size=n_active)
+    # q chosen so stationarity holds: P y* + q - A' lam = 0
+    q = A.T @ lam - P @ y_star
+    b = A @ y_star.copy()
+    b[:n_active] = A[:n_active] @ y_star          # active rows tight
+    b[n_active:] = A[n_active:] @ y_star - rng.uniform(
+        0.5, 3.0, size=nr - n_active)             # inactive rows slack
+    return P, q, A, b, y_star
+
+
+def test_recovers_known_solution(rng):
+    Ps, qs, As, bs, ys = [], [], [], [], []
+    for _ in range(16):
+        P, q, A, b, y = make_qp_with_known_solution(rng)
+        Ps.append(P), qs.append(q), As.append(A), bs.append(b), ys.append(y)
+    sol = qp.solve_qp(jnp.asarray(np.stack(Ps)), jnp.asarray(np.stack(qs)),
+                      jnp.asarray(np.stack(As)), jnp.asarray(np.stack(bs)),
+                      iters=25)
+    np.testing.assert_allclose(np.asarray(sol.y), np.stack(ys),
+                               rtol=1e-6, atol=1e-6)
+    assert np.asarray(sol.primal_res).max() < 1e-8
+
+
+def test_projection_problem(rng):
+    """P = 2I, q = -2c: projection of c onto {Ay >= b}; verify KKT."""
+    nv, nr = 6, 20
+    c = rng.normal(size=(4, nv)) * 3
+    A = rng.normal(size=(4, nr, nv))
+    b = -np.abs(rng.normal(size=(4, nr))) - 0.1   # origin strictly feasible
+    P = np.broadcast_to(2 * np.eye(nv), (4, nv, nv))
+    q = -2 * c
+    sol = qp.solve_qp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                      jnp.asarray(b), iters=30)
+    y = np.asarray(sol.y)
+    lam = np.asarray(sol.lam)
+    # stationarity (note solver equilibrates rows internally; check in
+    # original rows by recomputing residual with its own duals is skipped --
+    # instead verify primal feasibility + objective optimality vs scipy)
+    slack = np.einsum("brv,bv->br", A, y) - b
+    assert slack.min() > -1e-7
+    import scipy.optimize as sopt
+    for k in range(4):
+        res = sopt.minimize(
+            lambda x: np.sum((x - c[k]) ** 2),
+            np.zeros(nv),
+            jac=lambda x: 2 * (x - c[k]),
+            constraints=[{"type": "ineq",
+                          "fun": lambda x: A[k] @ x - b[k],
+                          "jac": lambda x: A[k]}],
+            method="SLSQP", options={"maxiter": 200, "ftol": 1e-12})
+        np.testing.assert_allclose(np.sum((y[k] - c[k]) ** 2), res.fun,
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_masked_rows_ignored(rng):
+    P, q, A, b, y_star = make_qp_with_known_solution(rng)
+    # append garbage rows, masked off
+    A2 = np.concatenate([A, rng.normal(size=(8, A.shape[1])) * 100], axis=0)
+    b2 = np.concatenate([b, np.full(8, 1e6)])
+    mask = np.concatenate([np.ones(A.shape[0], bool), np.zeros(8, bool)])
+    sol = qp.solve_qp(jnp.asarray(P[None]), jnp.asarray(q[None]),
+                      jnp.asarray(A2[None]), jnp.asarray(b2[None]),
+                      mask=jnp.asarray(mask[None]), iters=25)
+    np.testing.assert_allclose(np.asarray(sol.y)[0], y_star, rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_warm_start_consistency(rng):
+    P, q, A, b, y_star = make_qp_with_known_solution(rng)
+    y0 = jnp.asarray((y_star + rng.normal(size=y_star.shape) * 0.01)[None])
+    sol = qp.solve_qp(jnp.asarray(P[None]), jnp.asarray(q[None]),
+                      jnp.asarray(A[None]), jnp.asarray(b[None]),
+                      y0=y0, iters=15)
+    np.testing.assert_allclose(np.asarray(sol.y)[0], y_star, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_violation_report(rng):
+    A = jnp.asarray(np.eye(4)[None])
+    b = jnp.asarray(np.array([0.0, 2.0, -1.0, 5.0])[None])
+    y = jnp.zeros((1, 4))
+    vals, idx = qp.violation_report(A, b, y, top_k=2)
+    assert int(idx[0, 0]) == 3 and float(vals[0, 0]) == 5.0
+    assert int(idx[0, 1]) == 1 and float(vals[0, 1]) == 2.0
