@@ -1,0 +1,184 @@
+"""Batched collision-constraint construction: LSC, BVC, RSFC, SFC planes.
+
+Reference: TrajPlanner::generateLSC / generateBVC / generateReciprocalRSFC
+(src/traj_planner.cpp:1254-1440) and Box::convertToLSCs
+(src/collision_constraints.cpp:37-59).  The reference loops over
+(obstacle, segment) pairs calling GJK one pair at a time; here each
+generator is a single batched tensor program over every (agent, obstacle,
+segment) triple at once, feeding the unified PlaneConstraints rows consumed
+by the QP assembly.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..ops import geometry as geo
+from ..ops import hull as hull_ops
+from .optimizer import PlaneConstraints
+
+
+def pair_downwash(agent_radius, agent_downwash, obs_radius, obs_downwash,
+                  obs_is_agent):
+    """Combined downwash for agent-vs-obstacle (traj_planner.cpp:1336-1345):
+    agents mix both coefficients; non-agents use 1.0 for the ego agent."""
+    dw_agent = ((agent_downwash * agent_radius + obs_downwash * obs_radius)
+                / (agent_radius + obs_radius))
+    dw_other = ((agent_radius + obs_downwash * obs_radius)
+                / (agent_radius + obs_radius))
+    return jnp.where(obs_is_agent, dw_agent, dw_other)
+
+
+def lsc_planes(init_traj, obs_pred, agent_radius, agent_downwash,
+               obs_radius, obs_downwash, obs_is_agent, obs_mask,
+               slack_flags=None, obs_pred_sizes=None) -> PlaneConstraints:
+    """Linear Safe Corridor planes for all (agent, obstacle, segment).
+
+    init_traj: (N, M, n+1, 3)   agent initial trajectories
+    obs_pred:  (N, O, M, n+1, 3) per-agent predicted obstacle trajectories
+    agent_radius/downwash: (N,);  obs_radius/downwash: (N, O)
+    obs_is_agent, obs_mask: (N, O) bool;  slack_flags: (N, O) bool or None
+    obs_pred_sizes: (N, O, M, n+1) inflated radii (used for slack rows)
+
+    Implements generateLSC (traj_planner.cpp:1310-1407): downwash coordinate
+    transform, hull closest-point normal between relative control points,
+    margin d_i = 0.5 (r_i + r_j + rel_i . n), z-untransform of the normal.
+    """
+    N, O, M = obs_pred.shape[:3]
+    n1 = obs_pred.shape[3]
+
+    dw = pair_downwash(agent_radius[:, None], agent_downwash[:, None],
+                       obs_radius, obs_downwash, obs_is_agent)  # (N, O)
+    scale = jnp.stack([jnp.ones_like(dw), jnp.ones_like(dw), 1.0 / dw],
+                      axis=-1)                                   # (N, O, 3)
+    init_t = init_traj[:, None] * scale[:, :, None, None, :]
+    obs_t = obs_pred * scale[:, :, None, None, :]
+
+    rel = init_t - obs_t                                   # (N, O, M, n1, 3)
+    normal_t, dist = hull_ops.hull_normal(rel)             # (N, O, M, 3)
+
+    collision_dist = agent_radius[:, None] + obs_radius    # (N, O)
+    d = 0.5 * (collision_dist[..., None, None] +
+               jnp.einsum("nomid,nomd->nomi", rel, normal_t))
+
+    if slack_flags is not None and obs_pred_sizes is not None:
+        # disturbance path (traj_planner.cpp:1395-1400): reciprocal-RSFC
+        # style margin for slack-marked non-agent obstacles
+        use_rsfc = slack_flags & ~obs_is_agent
+        d_rsfc = obs_pred_sizes + agent_radius[:, None, None, None]
+        d = jnp.where(use_rsfc[..., None, None], d_rsfc, d)
+
+    # untransform normal (z divided by downwash, traj_planner.cpp:1403)
+    normal = jnp.concatenate(
+        [normal_t[..., :2],
+         normal_t[..., 2:3] / dw[..., None, None]], axis=-1)
+
+    # rhs_i = d_i + n . p_obs_i  with untransformed obstacle points
+    rhs = d + jnp.einsum("nomid,nomd->nomi", obs_pred, normal)
+    mask = jnp.broadcast_to(obs_mask[..., None], (N, O, M))
+    return PlaneConstraints(normal=normal, rhs=rhs, mask=mask)
+
+
+def bvc_planes(init_traj, obs_pred, agent_radius, agent_downwash,
+               obs_radius, obs_downwash, obs_is_agent,
+               obs_mask) -> PlaneConstraints:
+    """Buffered Voronoi Cell planes (generateBVC,
+    traj_planner.cpp:1409-1440): one normal per obstacle from the current
+    relative position, replicated across segments."""
+    N, O, M = obs_pred.shape[:3]
+    n1 = obs_pred.shape[3]
+    dw = ((agent_downwash[:, None] * agent_radius[:, None] +
+           obs_downwash * obs_radius) /
+          (agent_radius[:, None] + obs_radius))
+    scale = jnp.stack([jnp.ones_like(dw), jnp.ones_like(dw), 1.0 / dw],
+                      axis=-1)
+    p_agent = init_traj[:, 0, 0, :]                      # (N, 3)
+    p_obs = obs_pred[:, :, 0, 0, :]                      # (N, O, 3)
+    rel = (p_agent[:, None] - p_obs) * scale
+    nrm = jnp.linalg.norm(rel, axis=-1, keepdims=True)
+    normal_t = rel / jnp.maximum(nrm, 1e-10)
+    collision_dist = agent_radius[:, None] + obs_radius
+    d = 0.5 * (collision_dist + jnp.einsum("nod,nod->no", rel, normal_t))
+    normal = jnp.concatenate([normal_t[..., :2],
+                              normal_t[..., 2:3] / dw[..., None]], axis=-1)
+    normal_m = jnp.broadcast_to(normal[:, :, None, :], (N, O, M, 3))
+    rhs = d[:, :, None, None] + jnp.einsum("nomid,nomd->nomi", obs_pred,
+                                           normal_m)
+    mask = jnp.broadcast_to(obs_mask[..., None], (N, O, M))
+    return PlaneConstraints(normal=normal_m, rhs=rhs, mask=mask)
+
+
+def rsfc_planes(init_traj, obs_pred, obs_pred_sizes, agent_radius,
+                agent_downwash, obs_radius, obs_downwash, obs_is_agent,
+                obs_mask) -> PlaneConstraints:
+    """Reciprocal RSFC planes (generateReciprocalRSFC,
+    traj_planner.cpp:1254-1307, the RA-L 2021 baseline): normal from the
+    closest points of the *linear* relative paths between segment endpoints;
+    margin from inflated obstacle sizes; z divided by downwash^2."""
+    N, O, M = obs_pred.shape[:3]
+    obs_start = obs_pred[..., 0, :]                      # (N, O, M, 3)
+    obs_goal = obs_pred[..., -1, :]
+    a_start = jnp.broadcast_to(init_traj[:, None, :, 0, :], obs_start.shape)
+    a_goal = jnp.broadcast_to(init_traj[:, None, :, -1, :], obs_goal.shape)
+    normal, closest_dist = geo.normal_vector_between_paths(
+        obs_start, obs_goal, a_start, a_goal)
+
+    r_sum = obs_pred_sizes + agent_radius[:, None, None, None]
+    near = (obs_is_agent[..., None, None] &
+            (closest_dist[..., None] < r_sum))
+    d = jnp.where(near, 0.5 * (r_sum + closest_dist[..., None]), r_sum)
+
+    dw = pair_downwash(agent_radius[:, None], agent_downwash[:, None],
+                       obs_radius, obs_downwash, obs_is_agent)
+    normal = jnp.concatenate(
+        [normal[..., :2], normal[..., 2:3] / (dw ** 2)[..., None, None]],
+        axis=-1)
+    rhs = d + jnp.einsum("nomid,nomd->nomi", obs_pred, normal)
+    mask = jnp.broadcast_to(obs_mask[..., None], (N, O, M))
+    return PlaneConstraints(normal=normal, rhs=rhs, mask=mask)
+
+
+def sfc_planes(boxes, active) -> PlaneConstraints:
+    """Safe Flight Corridor box faces as planes.
+
+    boxes: (N, M, 6) as [min_xyz, max_xyz]; active: (N,) or scalar bool.
+    Each segment box contributes 2*dim rows (Box::convertToLSCs,
+    collision_constraints.cpp:37-59): +e_k with rhs box_min_k, -e_k with
+    rhs -box_max_k, obs point at origin.
+    """
+    N, M = boxes.shape[:2]
+    dtype = boxes.dtype
+    eye = jnp.eye(3, dtype=dtype)
+    normals = jnp.concatenate([eye, -eye], axis=0)        # (6, 3)
+    normal = jnp.broadcast_to(normals[None, :, None, :], (N, 6, M, 3))
+    rhs_min = boxes[..., :3]                              # (N, M, 3)
+    rhs_max = -boxes[..., 3:]
+    rhs = jnp.concatenate([rhs_min, rhs_max], axis=-1)    # (N, M, 6)
+    rhs = jnp.transpose(rhs, (0, 2, 1))                   # (N, 6, M)
+    n1 = 1
+    rhs = rhs[..., None]                                  # per ctrl point
+    active = jnp.broadcast_to(jnp.asarray(active), (N,))
+    mask = jnp.broadcast_to(active[:, None, None], (N, 6, M))
+    return PlaneConstraints(
+        normal=normal,
+        rhs=jnp.broadcast_to(rhs, (N, 6, M, 1)),
+        mask=mask)
+
+
+def concat_planes(*plane_sets, n_ctrl: int) -> PlaneConstraints:
+    """Concatenate plane sets along the constraint axis, broadcasting rhs to
+    (N, C, M, n_ctrl)."""
+    normals, rhss, masks = [], [], []
+    for ps in plane_sets:
+        if ps is None:
+            continue
+        N, C, M = ps.normal.shape[:3]
+        rhs = jnp.broadcast_to(ps.rhs, (N, C, M, n_ctrl)) \
+            if ps.rhs.shape[-1] != n_ctrl else ps.rhs
+        normals.append(ps.normal)
+        rhss.append(rhs)
+        masks.append(ps.mask)
+    return PlaneConstraints(normal=jnp.concatenate(normals, axis=1),
+                            rhs=jnp.concatenate(rhss, axis=1),
+                            mask=jnp.concatenate(masks, axis=1))

@@ -1,0 +1,133 @@
+"""Goal planning stage, batched over the swarm.
+
+Reference: TrajPlanner::goalPlanning* (src/traj_planner.cpp:477-608).
+The deadlock-avoiding `prior_based` default combines priority rules,
+grid A* around higher-priority agents, and line-of-sight sub-goal
+selection (grid_based_planner.cpp:350-433).  Priority logic and the
+LOS/goal-radius clamp are pure vectorized tensor logic; the grid search
+(needed only for octomap worlds / static obstacles) lives in
+``ops/grid_search.py`` as a batched wavefront sweep.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Param, GoalMode, SP_INFINITY
+from ..missions import Mission
+
+
+@dataclasses.dataclass
+class GoalPlanner:
+    mission: Mission
+    param: Param
+    esdf: object = None           # world.esdf.ESDF for octomap worlds
+    dtype: jnp.dtype = jnp.float32
+
+    def __post_init__(self):
+        self.grid_planner = None
+        if self.esdf is not None:
+            from ..ops.grid_search import GridPlanner
+            self.grid_planner = GridPlanner(self.mission, self.param,
+                                            self.esdf, dtype=self.dtype)
+
+    def plan(self, pos, vel, init_traj, desired_goal, seq, radius,
+             downwash, prev_traj=None):
+        mode = self.param.goal_mode
+        if mode == GoalMode.STATIC:
+            return desired_goal
+        if mode == GoalMode.RIGHT_HAND:
+            return self._right_hand(pos, vel, desired_goal, seq)
+        if mode == GoalMode.PRIOR_BASED:
+            return self._prior_based(pos, vel, init_traj, desired_goal,
+                                     seq, radius, downwash, prev_traj)
+        raise NotImplementedError(mode)
+
+    # ------------------------------------------------------------------
+    def _right_hand(self, pos, vel, desired_goal, seq):
+        """Deadlock -> displace the goal to the right of the goal direction
+        (goalPlanningWithRightHandRule, traj_planner.cpp:528-538; deadlock
+        test isDeadlock :1733-1748)."""
+        p = self.param
+        dist_to_goal = jnp.linalg.norm(pos - desired_goal, axis=-1)
+        deadlock = ((seq > p.deadlock_seq_threshold) &
+                    (jnp.linalg.norm(vel, axis=-1)
+                     < p.deadlock_velocity_threshold) &
+                    (dist_to_goal > p.goal_threshold))
+        z_axis = jnp.asarray([0.0, 0.0, 1.0], pos.dtype)
+        right = jnp.cross(desired_goal - pos,
+                          jnp.broadcast_to(z_axis, pos.shape))
+        return jnp.where(deadlock[:, None], pos + right, desired_goal)
+
+    # ------------------------------------------------------------------
+    def _prior_based(self, pos, vel, init_traj, desired_goal, seq, radius,
+                     downwash, prev_traj):
+        """goalPlanningWithPriority (traj_planner.cpp:540-608), batched.
+
+        Obstacles here are the other agents: positions `pos`, goals
+        `desired_goal`, previous solutions `prev_traj` (N, M, n+1, 3).
+        """
+        p = self.param
+        N = pos.shape[0]
+        dtype = pos.dtype
+        if prev_traj is None:
+            prev_traj = init_traj
+
+        eye = jnp.eye(N, dtype=bool)
+        dist_to_goal = jnp.linalg.norm(pos - desired_goal, axis=-1)  # (N,)
+        # pairwise [i, j]: agent i evaluating obstacle j
+        obs_dist_to_goal = dist_to_goal[None, :]
+        dist_to_obs = jnp.linalg.norm(pos[None, :] - pos[:, None], axis=-1)
+
+        near_own_goal = dist_to_goal < p.goal_threshold          # (N,)
+        obs_near_goal = obs_dist_to_goal < p.goal_threshold      # (N, N)
+
+        # "same direction" skip: (obs_end - obs_first_end) . (obs_first_end
+        #  - my_pos) > 0 with endpoints of the obstacle's previous solution
+        obs_end = prev_traj[:, -1, -1, :]                        # (N, 3)
+        obs_first_end = prev_traj[:, 0, -1, :]                   # (N, 3)
+        dirn = jnp.einsum(
+            "jd,ijd->ij", obs_end - obs_first_end,
+            obs_first_end[None, :, :] - pos[:, None, :])
+        same_dir = (~near_own_goal[:, None]) & (dirn > 0)
+
+        higher = ((~eye) & (~obs_near_goal) & (~same_dir) &
+                  (near_own_goal[:, None] |
+                   (obs_dist_to_goal < dist_to_goal[:, None])))
+
+        # closest higher-priority agent
+        d_hp = jnp.where(higher, dist_to_obs, SP_INFINITY)
+        min_dist = jnp.min(d_hp, axis=1)                         # (N,)
+        closest = jnp.argmin(d_hp, axis=1)                       # (N,)
+
+        # back-away rule (traj_planner.cpp:579-587)
+        dist_keep = p.priority_dist_threshold + 0.1
+        obs_closest_pos = pos[closest]                           # (N, 3)
+        away = pos - _normalize(obs_closest_pos - pos) * dist_keep
+        too_close = min_dist < p.priority_dist_threshold
+
+        # LOS-free goal from the initial trajectory endpoint
+        # (traj_planner.cpp:601-607 + findLOSFreeGoal clamp,
+        # grid_based_planner.cpp:396-404)
+        init_end = init_traj[:, -1, -1, :]                       # (N, 3)
+        if self.grid_planner is not None:
+            los_goal = self.grid_planner.los_free_goal(
+                pos, init_end, desired_goal, radius, downwash, higher)
+        else:
+            # empty world: every path point has line of sight, so the
+            # LOS-free goal degenerates to the desired goal
+            los_goal = desired_goal
+        delta = los_goal - init_end
+        dist = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+        clamped = jnp.where(dist > p.goal_radius,
+                            init_end + _normalize(delta) * p.goal_radius,
+                            los_goal)
+
+        return jnp.where(too_close[:, None], away, clamped)
+
+
+def _normalize(v, eps=1e-12):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)

@@ -1,0 +1,79 @@
+"""On-line safety audit + metrics, batched on device.
+
+Reference: MultiSyncSimulator::savePlanningResult
+(src/multi_sync_simulator.cpp:408-511) -- every cycle, sample all agent
+trajectories at the record time step and compute the pairwise ellipsoidal
+(downwash-aware) safety ratios; ratio < 1 is a collision.  This is the
+de-facto integration test of the reference (SURVEY.md section 4).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import bernstein as bz
+
+
+def _sample_times(record_time_step: float, time_step: float,
+                  inclusive: bool) -> np.ndarray:
+    ts = [0.0]
+    t = record_time_step
+    while t < time_step - 1e-6:
+        ts.append(t)
+        t += record_time_step
+    if inclusive:
+        ts.append(time_step)
+    return np.asarray(ts)
+
+
+def positions_at(trajs, ts, dt):
+    """Sample positions of all agents at times ts: (T, N, 3)."""
+    def at_t(t):
+        return jax.vmap(lambda tr: bz.traj_state(tr, t, dt)["pos"])(trajs)
+    return jnp.stack([at_t(float(t)) for t in ts])
+
+
+def pairwise_safety_ratio(pos, radius, downwash):
+    """Min over pairs of ellipsoidal_distance / (r_i + r_j).
+
+    pos: (..., N, 3); radius/downwash: (N,).  The pair downwash mixes both
+    agents' coefficients (multi_sync_simulator.cpp:459-464).
+    """
+    N = pos.shape[-2]
+    r_sum = radius[:, None] + radius[None, :]
+    dw = (downwash[:, None] * radius[:, None] +
+          downwash[None, :] * radius[None, :]) / r_sum
+    delta = pos[..., :, None, :] - pos[..., None, :, :]
+    dist = jnp.sqrt(delta[..., 0] ** 2 + delta[..., 1] ** 2 +
+                    (delta[..., 2] / dw) ** 2)
+    ratio = dist / r_sum
+    eye = jnp.eye(N, dtype=bool)
+    ratio = jnp.where(eye, jnp.inf, ratio)
+    return jnp.min(ratio, axis=(-2, -1))
+
+
+def step_safety_ratio(trajs, radius, downwash, dt, record_time_step,
+                      time_step):
+    """Min safety ratio over the record samples of the upcoming step."""
+    ts = _sample_times(record_time_step, time_step, inclusive=False)
+    pos = positions_at(trajs, ts, dt)           # (T, N, 3)
+    return jnp.min(pairwise_safety_ratio(pos, radius, downwash))
+
+
+def obstacle_safety_ratio(pos, obs_pos, radius, obs_radius):
+    """Agent-vs-dynamic-obstacle safety (multi_sync_simulator.cpp:480-499),
+    plain euclidean.  pos: (N, 3), obs_pos: (O, 3)."""
+    delta = pos[:, None, :] - obs_pos[None, :, :]
+    dist = jnp.linalg.norm(delta, axis=-1)
+    return jnp.min(dist / (radius[:, None] + obs_radius[None, :]))
+
+
+def step_distance(trajs, dt, record_time_step, time_step):
+    """Total swarm path length accumulated over the upcoming step, sampled
+    at the record resolution (getTotalDistance,
+    multi_sync_simulator.cpp:671-680)."""
+    ts = _sample_times(record_time_step, time_step, inclusive=True)
+    pos = positions_at(trajs, ts, dt)           # (T+1, N, 3)
+    seg = jnp.linalg.norm(jnp.diff(pos, axis=0), axis=-1)
+    return jnp.sum(seg)
