@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark: batched planning-cycle throughput on one TPU chip.
+
+Headline metric: QP solves (= agent planning cycles) per second per chip,
+measured on full synchronous LSC replanning cycles (prediction -> priority
+goals -> LSC construction -> batched QP -> safety audit), at swarm sizes
+16 / 64 / 1024.
+
+Baseline: the reference plans one agent in 9.47 ms on a desktop CPU core
+with CPLEX (avg over multi_square16, /root/reference/log/
+summary_LSC_16agents.csv), i.e. ~105.6 agent-cycles/s/core.
+vs_baseline = our agent-cycles/s/chip divided by that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+import json
+import math
+import time
+
+import numpy as np
+
+BASELINE_AGENT_CYCLES_PER_S = 1.0 / 0.00947   # reference CPLEX single-core
+
+
+def bench_size(qn: int, cycles: int = 30, warmup: int = 3,
+               max_neighbors: int = -1):
+    import jax
+    import jax.numpy as jnp
+    from lsc_planner_tpu.config import Param, GoalMode
+    from lsc_planner_tpu.missions import make_circle_mission
+    from lsc_planner_tpu.sim.simulator import SyncSimulator
+
+    radius = max(4.0, 0.45 * qn / math.pi)     # keep ~0.9 m arc spacing
+    w = radius + 2.0
+    mission = make_circle_mission(qn, radius=radius,
+                                  world=(-w, -w, 0, w, w, 2.5))
+    param = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14,
+                  max_neighbors=max_neighbors)
+    sim = SyncSimulator(mission, param, dtype=jnp.float32)
+    state = sim.initial_state()
+    # warmup + compile
+    for _ in range(warmup):
+        state, info = sim._cycle_jit(state)
+    state.traj.block_until_ready()
+
+    times = []
+    for _ in range(cycles):
+        t0 = time.perf_counter()
+        state, info = sim._cycle_jit(state)
+        state.traj.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    ok = bool(np.isfinite(np.asarray(state.pos)).all())
+    return {
+        "qn": qn,
+        "cycle_p50_ms": float(np.percentile(times, 50) * 1e3),
+        "cycle_p99_ms": float(np.percentile(times, 99) * 1e3),
+        "agent_cycles_per_s": float(qn / np.median(times)),
+        "max_neighbors": max_neighbors,
+        "finite": ok,
+        "min_safety": float(state.safety_agent_min),
+    }
+
+
+def main():
+    results = {}
+    for qn, nbrs in ((16, -1), (64, -1), (1024, 32)):
+        try:
+            results[str(qn)] = bench_size(qn, max_neighbors=nbrs)
+        except Exception as e:  # keep the bench robust: report what ran
+            results[str(qn)] = {"error": f"{type(e).__name__}: {e}"}
+
+    headline = None
+    for key in ("1024", "64", "16"):
+        r = results.get(key, {})
+        if "agent_cycles_per_s" in r:
+            headline = r
+            break
+    value = headline["agent_cycles_per_s"] if headline else 0.0
+    out = {
+        "metric": f"QP solves/s/chip ({headline['qn']} agents, full LSC "
+                  f"cycle)" if headline else "QP solves/s/chip",
+        "value": round(value, 1),
+        "unit": "agent-cycles/s",
+        "vs_baseline": round(value / BASELINE_AGENT_CYCLES_PER_S, 2),
+        "detail": results,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

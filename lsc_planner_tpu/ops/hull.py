@@ -50,30 +50,29 @@ def _subsets(K: int, k: int) -> np.ndarray:
                       dtype=np.int32)
 
 
-def _solve_subsets(points, subs):
+def _solve_subsets(points, subs, feas_tol: float = 1e-7):
     """Solve the bordered min-norm systems for all subsets of one size.
 
     points: (..., K, 3); subs: (S, k) static indices.
     Returns (cand (..., S, 3), d2 (..., S), feasible (..., S)).
+
+    Uses the unrolled PSD Schur solve (ops/smallsolve.py) rather than
+    jnp.linalg.solve: the tiny batched LU custom call pads (k+1, k+1)
+    blocks to (8, 128) TPU tiles (~40x memory blowup) and dominates both
+    latency and HBM at swarm scale.
     """
+    from .smallsolve import min_norm_weights
+
     S, k = subs.shape
-    dtype = points.dtype
     Ps = points[..., subs, :]                       # (..., S, k, 3)
     G = jnp.einsum("...sid,...sjd->...sij", Ps, Ps)
-    ones = jnp.ones(G.shape[:-2] + (k, 1), dtype)
-    top = jnp.concatenate([G, ones], axis=-1)
-    bot = jnp.concatenate(
-        [jnp.swapaxes(ones, -1, -2),
-         jnp.zeros(G.shape[:-2] + (1, 1), dtype)], axis=-1)
-    M = jnp.concatenate([top, bot], axis=-2)        # (..., S, k+1, k+1)
-    rhs = jnp.concatenate([jnp.zeros(G.shape[:-2] + (k,), dtype),
-                           jnp.ones(G.shape[:-2] + (1,), dtype)], axis=-1)
-    # tiny Tikhonov keeps degenerate (affinely dependent) subsets finite;
-    # they are then simply dominated by a non-degenerate subset.
-    M = M + 1e-11 * jnp.eye(k + 1, dtype=dtype)
-    sol = jnp.linalg.solve(M, rhs[..., None])[..., 0]
-    lam = sol[..., :k]
-    feasible = jnp.all(lam > -1e-9, axis=-1) & \
+    # relative ridge keeps degenerate (affinely dependent) subsets finite;
+    # they are then dominated by a non-degenerate subset.
+    scale = jnp.einsum("...sii->...s", G) / k        # mean diagonal
+    ridge = (1e-7 * scale + 1e-30)[..., None, None] * \
+        jnp.eye(k, dtype=G.dtype)
+    lam = min_norm_weights(G + ridge)
+    feasible = jnp.all(lam > -feas_tol, axis=-1) & \
         jnp.all(jnp.isfinite(lam), axis=-1)
     lam = jnp.clip(lam, 0.0, None)
     lam = lam / jnp.maximum(jnp.sum(lam, axis=-1, keepdims=True), 1e-12)
@@ -92,6 +91,12 @@ def closest_point_to_hull(points, iters: int = 0, max_support: int = 4):
     K = points.shape[-2]
     if K > 8:
         return _closest_point_fista(points, iters=max(iters, 256))
+    with jax.default_matmul_precision("highest"):
+        return _closest_point_enum(points, max_support)
+
+
+def _closest_point_enum(points, max_support):
+    K = points.shape[-2]
     cands, d2s, feas = [], [], []
     for k in range(1, min(K, max_support) + 1):
         subs = jnp.asarray(_subsets(K, k))

@@ -66,6 +66,15 @@ def solve_qp(P, q, A, b, mask=None, y0=None, iters: int = 20,
     slacks: starting well-centered (s ~ 1, lam ~ 1) matters more for
     Mehrotra than starting primal-feasible.
     """
+    with jax.default_matmul_precision("highest"):
+        return _solve_qp_impl(P, q, A, b, mask, y0, iters, reg, s_min,
+                              equilibrate)
+
+
+def _solve_qp_impl(P, q, A, b, mask, y0, iters, reg, s_min, equilibrate):
+    # NOTE: runs under matmul precision "highest" -- TPU's default bf16
+    # passes for f32 matmuls break the positive definiteness of
+    # H = P + A'DA and make the batched Cholesky produce NaNs.
     dtype = P.dtype
     nv = P.shape[-1]
     nr = A.shape[-2]

@@ -35,15 +35,32 @@ class GoalPlanner:
                                             self.esdf, dtype=self.dtype)
 
     def plan(self, pos, vel, init_traj, desired_goal, seq, radius,
-             downwash, prev_traj=None):
+             downwash, prev_traj=None, obs_pos=None, obs_goal=None,
+             obs_prev_traj=None, self_mask=None, obs_radius=None,
+             obs_downwash=None):
+        """Plan current goals for a block of agents.
+
+        pos/vel/init_traj/desired_goal: local agent block (L, ...).
+        obs_pos/obs_goal/obs_prev_traj/obs_radius/obs_downwash: the global
+        obstacle (= all agents) view (N, ...); default to the local block
+        (single-chip case).  self_mask: (L, N) bool marking each agent's
+        own column.
+        """
         mode = self.param.goal_mode
+        if obs_pos is None:
+            obs_pos, obs_goal, obs_prev_traj = pos, desired_goal, \
+                (prev_traj if prev_traj is not None else init_traj)
+            obs_radius, obs_downwash = radius, downwash
+            self_mask = jnp.eye(pos.shape[0], dtype=bool)
         if mode == GoalMode.STATIC:
             return desired_goal
         if mode == GoalMode.RIGHT_HAND:
             return self._right_hand(pos, vel, desired_goal, seq)
         if mode == GoalMode.PRIOR_BASED:
             return self._prior_based(pos, vel, init_traj, desired_goal,
-                                     seq, radius, downwash, prev_traj)
+                                     seq, radius, downwash, obs_pos,
+                                     obs_goal, obs_prev_traj, self_mask,
+                                     obs_radius, obs_downwash)
         raise NotImplementedError(mode)
 
     # ------------------------------------------------------------------
@@ -64,48 +81,47 @@ class GoalPlanner:
 
     # ------------------------------------------------------------------
     def _prior_based(self, pos, vel, init_traj, desired_goal, seq, radius,
-                     downwash, prev_traj):
+                     downwash, obs_pos, obs_goal, obs_prev_traj, self_mask,
+                     obs_radius, obs_downwash):
         """goalPlanningWithPriority (traj_planner.cpp:540-608), batched.
 
-        Obstacles here are the other agents: positions `pos`, goals
-        `desired_goal`, previous solutions `prev_traj` (N, M, n+1, 3).
+        Local block (L, ...) against the global obstacle view (N, ...):
+        the other agents with positions obs_pos, goals obs_goal, and
+        previous solutions obs_prev_traj (N, M, n+1, 3).
         """
         p = self.param
-        N = pos.shape[0]
-        dtype = pos.dtype
-        if prev_traj is None:
-            prev_traj = init_traj
 
-        eye = jnp.eye(N, dtype=bool)
-        dist_to_goal = jnp.linalg.norm(pos - desired_goal, axis=-1)  # (N,)
-        # pairwise [i, j]: agent i evaluating obstacle j
-        obs_dist_to_goal = dist_to_goal[None, :]
-        dist_to_obs = jnp.linalg.norm(pos[None, :] - pos[:, None], axis=-1)
+        dist_to_goal = jnp.linalg.norm(pos - desired_goal, axis=-1)  # (L,)
+        # pairwise [i, j]: local agent i evaluating obstacle j
+        obs_dist_to_goal = jnp.linalg.norm(obs_pos - obs_goal,
+                                           axis=-1)[None, :]     # (1, N)
+        dist_to_obs = jnp.linalg.norm(obs_pos[None, :] - pos[:, None],
+                                      axis=-1)                   # (L, N)
 
-        near_own_goal = dist_to_goal < p.goal_threshold          # (N,)
-        obs_near_goal = obs_dist_to_goal < p.goal_threshold      # (N, N)
+        near_own_goal = dist_to_goal < p.goal_threshold          # (L,)
+        obs_near_goal = obs_dist_to_goal < p.goal_threshold      # (1, N)
 
         # "same direction" skip: (obs_end - obs_first_end) . (obs_first_end
         #  - my_pos) > 0 with endpoints of the obstacle's previous solution
-        obs_end = prev_traj[:, -1, -1, :]                        # (N, 3)
-        obs_first_end = prev_traj[:, 0, -1, :]                   # (N, 3)
+        obs_end = obs_prev_traj[:, -1, -1, :]                    # (N, 3)
+        obs_first_end = obs_prev_traj[:, 0, -1, :]               # (N, 3)
         dirn = jnp.einsum(
             "jd,ijd->ij", obs_end - obs_first_end,
             obs_first_end[None, :, :] - pos[:, None, :])
         same_dir = (~near_own_goal[:, None]) & (dirn > 0)
 
-        higher = ((~eye) & (~obs_near_goal) & (~same_dir) &
+        higher = ((~self_mask) & (~obs_near_goal) & (~same_dir) &
                   (near_own_goal[:, None] |
                    (obs_dist_to_goal < dist_to_goal[:, None])))
 
         # closest higher-priority agent
         d_hp = jnp.where(higher, dist_to_obs, SP_INFINITY)
-        min_dist = jnp.min(d_hp, axis=1)                         # (N,)
-        closest = jnp.argmin(d_hp, axis=1)                       # (N,)
+        min_dist = jnp.min(d_hp, axis=1)                         # (L,)
+        closest = jnp.argmin(d_hp, axis=1)                       # (L,)
 
         # back-away rule (traj_planner.cpp:579-587)
         dist_keep = p.priority_dist_threshold + 0.1
-        obs_closest_pos = pos[closest]                           # (N, 3)
+        obs_closest_pos = obs_pos[closest]                       # (L, 3)
         away = pos - _normalize(obs_closest_pos - pos) * dist_keep
         too_close = min_dist < p.priority_dist_threshold
 
@@ -114,8 +130,9 @@ class GoalPlanner:
         # grid_based_planner.cpp:396-404)
         init_end = init_traj[:, -1, -1, :]                       # (N, 3)
         if self.grid_planner is not None:
-            los_goal = self.grid_planner.los_free_goal(
-                pos, init_end, desired_goal, radius, downwash, higher)
+            los_goal = self.grid_planner.plan_goals(
+                pos, init_end, desired_goal, radius, downwash,
+                obs_pos, obs_radius, obs_downwash, higher)
         else:
             # empty world: every path point has line of sight, so the
             # LOS-free goal degenerates to the desired goal

@@ -207,6 +207,31 @@ class TrajOptimizer:
         return self.F.reshape(self.M, self.n + 1, self.nf)
 
     @cached_property
+    def y_extract_idx(self) -> np.ndarray:
+        """x-space indices whose values reproduce y: for each reduced free
+        variable, the (m, i) control point it directly parameterizes
+        (used to warm-start the QP from the shifted previous solution,
+        which is feasible by the LSC construction)."""
+        # column k of F has a single +-1 row among the free columns; pick
+        # the last x-row where F[:, k] == 1 (the endpoint for the tied
+        # stop-at-horizon group).
+        idx = []
+        for k in range(self.nf):
+            rows = np.nonzero(np.abs(self.F[:, k] - 1.0) < 1e-12)[0]
+            idx.append(int(rows[-1]))
+        return np.asarray(idx)
+
+    def extract_y(self, traj):
+        """Map trajectories (N, M, n+1, 3) to warm-start vectors (N, nv).
+        Exact when traj lies on the equality manifold (prev-solution
+        shifts); approximate otherwise (still a useful IPM start)."""
+        N = traj.shape[0]
+        x = traj.transpose(0, 3, 1, 2).reshape(N, self.dim,
+                                               self.M * (self.n + 1))
+        y = x[:, :, self.y_extract_idx]
+        return y.reshape(N, self.nv)
+
+    @cached_property
     def G_seg(self) -> np.ndarray:
         return self.G.reshape(self.M, self.n + 1, 3)
 
@@ -322,6 +347,15 @@ class TrajOptimizer:
         pos/vel/acc/current_goal: (N, 3); max_vel/max_acc: (N, 3);
         planes: LSC+SFC half-space rows.  Returns batched trajectories.
         """
+        with jax.default_matmul_precision("highest"):
+            return self._solve_impl(pos, vel, acc, current_goal,
+                                    nominal_velocity, max_vel, max_acc,
+                                    planes, world_min, world_max, y_warm,
+                                    dtype)
+
+    def _solve_impl(self, pos, vel, acc, current_goal, nominal_velocity,
+                    max_vel, max_acc, planes, world_min, world_max,
+                    y_warm, dtype):
         p = self.param
         N = pos.shape[0]
         M, n, phi, dim = self.M, self.n, p.phi, self.dim

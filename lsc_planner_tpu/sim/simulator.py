@@ -9,8 +9,11 @@ with a thin host loop for termination/metrics/CSV.
 The reference's "communication step" (update() collecting every agent's
 previous trajectory into per-agent ObstacleArrays,
 multi_sync_simulator.cpp:269-303) is here a broadcast of the shared
-(N, M, n+1, 3) control-point tensor; across TPU chips it becomes an
-all_gather over the agent-sharded mesh (see parallel/).
+(N, M, n+1, 3) control-point tensor; across TPU chips it is an all_gather
+over the agent-sharded mesh (parallel/shard.py), riding ICI instead of ROS
+TCP.  The cycle body is factored as `plan_block` -- a block of local agents
+planning against the global obstacle view -- so single-chip (block = all)
+and sharded execution share the same code path.
 """
 from __future__ import annotations
 
@@ -35,7 +38,11 @@ from ..planner.optimizer import TrajOptimizer, PlaneConstraints
 
 
 class SwarmState(NamedTuple):
-    """Device-side swarm state carried across planning cycles."""
+    """Device-side swarm state carried across planning cycles.
+
+    Leading axis of the per-agent fields is shardable over the mesh's
+    agent axis.
+    """
     traj: jnp.ndarray          # (N, M, n+1, 3) current solutions
     pos: jnp.ndarray           # (N, 3)
     vel: jnp.ndarray           # (N, 3)
@@ -46,6 +53,8 @@ class SwarmState(NamedTuple):
     primal_res: jnp.ndarray    # (N,) constraint violation of last QP
     safety_agent_min: jnp.ndarray  # () running min inter-agent safety ratio
     distance: jnp.ndarray      # () running total flight distance
+    sfc: jnp.ndarray           # (N, M, 6) SFC boxes [min, max] per segment
+    sfc_initialized: jnp.ndarray  # (N,) bool (flag_initialize_sfc analog)
 
 
 class CycleInfo(NamedTuple):
@@ -84,6 +93,13 @@ class SyncSimulator:
         self.max_acc = jnp.asarray(arrs["max_acc"], dt)
         self.world_min = jnp.asarray(self.mission.world_min, dt)
         self.world_max = jnp.asarray(self.mission.world_max, dt)
+        self.corridor = None
+        if self.esdf is not None:
+            from ..world.corridor import CorridorBuilder
+            self.corridor = CorridorBuilder(
+                self.esdf, self.mission.world_min, self.mission.world_max,
+                agent_radius=float(self.mission.agents[0].radius),
+                dtype=self.dtype)
         self._cycle_jit = jax.jit(self._cycle)
         self.goal_planner = goal_mod.GoalPlanner(self.mission, p, self.esdf,
                                                  dtype=self.dtype)
@@ -103,68 +119,140 @@ class SyncSimulator:
             primal_res=jnp.zeros((N,), dt),
             safety_agent_min=jnp.asarray(np.inf, dt),
             distance=jnp.zeros((), dt),
+            sfc=jnp.zeros((N, M, 6), dt),
+            sfc_initialized=jnp.zeros((N,), bool),
         )
 
     # ------------------------------------------------------------------
-    def _cycle(self, state: SwarmState) -> tuple:
-        """One synchronous planning cycle for all agents (fused)."""
+    def propagate(self, state: SwarmState):
+        """Ideal flat-output rollout of the previous solutions by one time
+        step (update(), multi_sync_simulator.cpp:190-246)."""
         p = self.param
-        N, M, n = self.N, self.M, self.n
-
-        # --- 1. state propagation (update(), multi_sync_simulator.cpp
-        #     :190-246): ideal flat-output rollout of the previous solution
         is_first = state.seq == 0
-        rolled = jax.vmap(lambda tr: bz.traj_state(tr, p.multisim_time_step,
-                                                   p.dt))(state.traj)
+        rolled = jax.vmap(lambda tr: bz.traj_state(
+            tr, p.multisim_time_step, p.dt))(state.traj)
         pos = jnp.where(is_first, state.pos, rolled["pos"])
         vel = jnp.where(is_first, state.vel, rolled["vel"])
         acc = jnp.where(is_first, state.acc, rolled["acc"])
+        return pos, vel, acc
 
-        # --- 2. obstacle prediction + initial trajectory (previous-solution
-        #     shift; falls back to constant velocity for seq < 2,
-        #     traj_planner.cpp:829-864, :997-1016)
-        shifted = pred.shift_previous_solution(state.traj)
-        const_vel = pred.constant_velocity_traj(pos, vel, M, n, p.dt)
-        use_shift = (state.seq >= 1)[..., None, None, None]
-        init = jnp.where(use_shift, shifted, const_vel)
-        # per-agent view of all obstacles' predictions (the communication
-        # step: one broadcast of the shared tensor)
-        obs_pred = jnp.broadcast_to(init[None], (N, N, M, n + 1, 3))
+    def predict_and_init(self, traj, pos, vel, seq):
+        """Previous-solution shift (falls back to constant velocity for
+        seq < 2, traj_planner.cpp:829-864, :997-1016).  In LSC mode the
+        same shifted tensor is both this agent's initial trajectory and
+        every other agent's prediction of it."""
+        p = self.param
+        shifted = pred.shift_previous_solution(traj)
+        const_vel = pred.constant_velocity_traj(pos, vel, self.M, self.n,
+                                                p.dt)
+        use_shift = (seq >= 1)[..., None, None, None]
+        return jnp.where(use_shift, shifted, const_vel)
 
-        # --- 3. goal planning ---
+    def plan_block(self, pos, vel, acc, init, seq,
+                   init_global, obs_pos_global, obs_goal_global,
+                   obs_prev_global, self_mask,
+                   radius, downwash, nominal_velocity, max_vel, max_acc,
+                   desired_goal, sfc_prev=None, sfc_initialize=None,
+                   sfc_seed=None, y_warm=None):
+        """Plan one block of agents (L, ...) against the global obstacle
+        view (N_total, ...).  Returns (QPResult, current_goal, sfc)."""
+        p = self.param
+        L = pos.shape[0]
+        O = init_global.shape[0]
+        M, n = self.M, self.n
+
         current_goal = self.goal_planner.plan(
-            pos=pos, vel=vel, init_traj=init,
-            desired_goal=self.desired_goal, seq=state.seq,
-            radius=self.radius, downwash=self.downwash,
-            prev_traj=state.traj)
+            pos=pos, vel=vel, init_traj=init, desired_goal=desired_goal,
+            seq=seq, radius=radius, downwash=downwash,
+            obs_pos=obs_pos_global, obs_goal=obs_goal_global,
+            obs_prev_traj=obs_prev_global, self_mask=self_mask,
+            obs_radius=self.radius, obs_downwash=self.downwash)
 
-        # --- 4. collision constraints ---
-        obs_is_agent = jnp.ones((N, N), bool)
-        obs_mask = ~jnp.eye(N, dtype=bool)
-        obs_radius = jnp.broadcast_to(self.radius[None, :], (N, N))
-        obs_downwash = jnp.broadcast_to(self.downwash[None, :], (N, N))
+        K = p.max_neighbors
+        if 0 < K < O:
+            # spatial K-NN pruning of LSC pairs (SURVEY.md 5.7: the CP/ring
+            # analog).  Agents beyond the K nearest cannot enter the safety
+            # envelope within one horizon when K covers the 2*vmax*horizon
+            # ball, so their half-spaces are redundant.
+            d2 = jnp.sum((obs_pos_global[None, :, :] - pos[:, None, :])**2,
+                         axis=-1)
+            d2 = jnp.where(self_mask, jnp.inf, d2)
+            _, nbr = jax.lax.top_k(-d2, K)                     # (L, K)
+            obs_pred = init_global[nbr]                        # (L,K,M,n+1,3)
+            obs_is_agent = jnp.ones((L, K), bool)
+            obs_mask = jnp.ones((L, K), bool)
+            obs_radius = self.radius[nbr]
+            obs_downwash = self.downwash[nbr]
+        else:
+            obs_pred = jnp.broadcast_to(init_global[None],
+                                        (L, O, M, n + 1, 3))
+            obs_is_agent = jnp.ones((L, O), bool)
+            obs_mask = ~self_mask
+            obs_radius = jnp.broadcast_to(self.radius[None, :], (L, O))
+            obs_downwash = jnp.broadcast_to(self.downwash[None, :], (L, O))
         if p.planner_mode == PlannerMode.LSC:
-            planes = cons.lsc_planes(init, obs_pred, self.radius,
-                                     self.downwash, obs_radius,
-                                     obs_downwash, obs_is_agent, obs_mask)
+            planes = cons.lsc_planes(init, obs_pred, radius, downwash,
+                                     obs_radius, obs_downwash,
+                                     obs_is_agent, obs_mask)
         elif p.planner_mode == PlannerMode.BVC:
-            planes = cons.bvc_planes(init, obs_pred, self.radius,
-                                     self.downwash, obs_radius,
-                                     obs_downwash, obs_is_agent, obs_mask)
+            planes = cons.bvc_planes(init, obs_pred, radius, downwash,
+                                     obs_radius, obs_downwash,
+                                     obs_is_agent, obs_mask)
         else:
             raise NotImplementedError(p.planner_mode)
-        planes = cons.concat_planes(planes, n_ctrl=n + 1)
 
-        # --- 5. trajectory optimization (batched QP) ---
+        # SFC corridors against the static world
+        # (generateFeasibleSFC, traj_planner.cpp:1451-1491)
+        sfc = sfc_prev
+        if self.corridor is not None:
+            from ..world.corridor import update_sfc
+            sfc, _ = update_sfc(sfc_prev, sfc_seed, current_goal,
+                                self.corridor, sfc_initialize)
+            sfc_pl = cons.sfc_planes(sfc, active=True)
+            planes = cons.concat_planes(planes, sfc_pl, n_ctrl=n + 1)
+        else:
+            planes = cons.concat_planes(planes, n_ctrl=n + 1)
+
+        if y_warm is None:
+            # warm start from the (feasible) shifted previous solution
+            y_warm = self.optimizer.extract_y(init).astype(self.dtype)
         res = self.optimizer.solve(
             pos, vel, acc, current_goal,
+            nominal_velocity=nominal_velocity,
+            max_vel=max_vel, max_acc=max_acc,
+            planes=planes, world_min=self.world_min,
+            world_max=self.world_max, y_warm=y_warm, dtype=self.dtype)
+        return res, current_goal, sfc
+
+    # ------------------------------------------------------------------
+    def _cycle(self, state: SwarmState) -> tuple:
+        """One synchronous planning cycle for all agents (single device)."""
+        p = self.param
+        N = self.N
+
+        pos, vel, acc = self.propagate(state)
+        init = self.predict_and_init(state.traj, pos, vel, state.seq)
+
+        # SFC seed: the previous solution endpoint, or the current position
+        # on (re-)initialization (traj_planner.cpp:1454-1473)
+        sfc_initialize = ~state.sfc_initialized
+        sfc_seed = jnp.where(sfc_initialize[:, None], pos,
+                             state.traj[:, -1, -1, :])
+        res, current_goal, sfc = self.plan_block(
+            pos, vel, acc, init, state.seq,
+            init_global=init, obs_pos_global=pos,
+            obs_goal_global=self.desired_goal,
+            obs_prev_global=state.traj,
+            self_mask=jnp.eye(N, dtype=bool),
+            radius=self.radius, downwash=self.downwash,
             nominal_velocity=self.nominal_velocity,
             max_vel=self.max_vel, max_acc=self.max_acc,
-            planes=planes, world_min=self.world_min,
-            world_max=self.world_max, dtype=self.dtype)
+            desired_goal=self.desired_goal,
+            sfc_prev=state.sfc, sfc_initialize=sfc_initialize,
+            sfc_seed=sfc_seed)
 
-        # --- 6. safety audit + metrics over the upcoming time step
-        #     (savePlanningResult, multi_sync_simulator.cpp:446-503) ---
+        # safety audit + metrics over the upcoming time step
+        # (savePlanningResult, multi_sync_simulator.cpp:446-503)
         safety_step = audit.step_safety_ratio(
             res.traj, self.radius, self.downwash, p.dt,
             p.multisim_record_time_step, p.multisim_time_step)
@@ -180,6 +268,8 @@ class SyncSimulator:
             safety_agent_min=jnp.minimum(state.safety_agent_min,
                                          safety_step),
             distance=state.distance + step_dist,
+            sfc=sfc if sfc is not None else state.sfc,
+            sfc_initialized=jnp.ones_like(state.sfc_initialized),
         )
         info = CycleInfo(safety_step_min=safety_step, qp_cost=res.cost,
                          primal_res=res.primal_res)
@@ -193,13 +283,17 @@ class SyncSimulator:
         return bool(jnp.max(d) < self.param.goal_threshold)
 
     def run(self, max_iterations: Optional[int] = None,
-            log: Optional[object] = None) -> dict:
+            log: Optional[object] = None,
+            cycle_fn=None) -> dict:
         """Host loop: cycle until all agents reach goals or iteration cap.
 
         Returns a summary dict in the shape of the reference's summary CSV
         row (saveSummarizedResultAsCSV, multi_sync_simulator.cpp:589-633).
+        `cycle_fn` overrides the cycle implementation (e.g. the sharded
+        multi-chip cycle from parallel/shard.py).
         """
         p = self.param
+        cycle = cycle_fn or self._cycle_jit
         max_iter = max_iterations or p.multisim_max_planner_iteration
         state = self.initial_state()
         t_wall0 = time.perf_counter()
@@ -209,7 +303,7 @@ class SyncSimulator:
         iters_done = 0
         for it in range(max_iter):
             t0 = time.perf_counter()
-            state, info = self._cycle_jit(state)
+            state, info = cycle(state)
             state.traj.block_until_ready()
             plan_times.append(time.perf_counter() - t0)
             iters_done = it + 1

@@ -1,0 +1,147 @@
+"""Tests for the world layer: .bt parsing, ESDF, SAT box checks, SFC
+expansion, and the forest-world end-to-end slice."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsc_planner_tpu.config import Param, GoalMode, SP_EPSILON_FLOAT
+from lsc_planner_tpu.world.octomap_io import load_bt, rasterize
+from lsc_planner_tpu.world.esdf import ESDF, OccupancySAT
+from lsc_planner_tpu.world.corridor import CorridorBuilder
+
+BT = "/root/reference/world/simple_forest.bt"
+WMIN = np.array([-5.0, -5.0, 0.0])
+WMAX = np.array([5.0, 5.0, 2.5])
+
+
+@pytest.fixture(scope="module")
+def esdf():
+    return ESDF.from_bt(BT, WMIN, WMAX, dtype=jnp.float64)
+
+
+def test_bt_statistics(esdf):
+    """simple_forest: 10x10x2.5 m world with vertical tree columns."""
+    occ = esdf.occ
+    assert occ.shape == (101, 101, 26)
+    assert 0.03 < occ.mean() < 0.12
+    col = occ.sum(axis=2)
+    assert (col >= 20).sum() > 50          # full-height tree columns
+
+
+def test_esdf_matches_bruteforce(esdf, rng):
+    """EDT values = min distance to occupied cell centers."""
+    occ = esdf.occ
+    occ_idx = np.argwhere(occ)
+    res = esdf.resolution
+    centers = (occ_idx + 0.5) * res + esdf.origin_key * res
+    for _ in range(20):
+        p = rng.uniform(WMIN + 0.1, WMAX - 0.1)
+        d = float(esdf.at_points(jnp.asarray(p)))
+        cell = np.floor((p - esdf.origin_key * res) / res).astype(int)
+        c_center = (cell + 0.5) * res + esdf.origin_key * res
+        brute = np.linalg.norm(centers - c_center, axis=1).min()
+        brute = min(brute, esdf.max_dist)
+        np.testing.assert_allclose(d, brute, atol=1e-6)
+
+
+def _brute_obstructed(esdf, lo, hi, margin):
+    """Literal re-implementation of isObstacleInBox's corner sampling
+    (corridor_constructor.hpp:81-122) as the oracle."""
+    res = esdf.resolution
+    lo_m = np.asarray(lo, float) * res
+    hi_m = np.asarray(hi, float) * res
+    size = [int(round((hi_m[i] - lo_m[i]) / res)) + 1 for i in range(3)]
+    thr = margin + 0.5 * res - SP_EPSILON_FLOAT
+    for bi in range(max(size[0], 2)):
+        for bj in range(max(size[1], 2)):
+            for bk in range(max(size[2], 2)):
+                it = (bi, bj, bk)
+                sp = np.zeros(3)
+                for i in range(3):
+                    if size[i] == 1 and it[i] > 0:
+                        sp[i] = lo_m[i]
+                    else:
+                        sp[i] = lo_m[i] + it[i] * res
+                delta = np.zeros(3)
+                for i in range(3):
+                    if it[i] == 0 and lo_m[i] > WMIN[i] + SP_EPSILON_FLOAT:
+                        delta[i] = -SP_EPSILON_FLOAT
+                    else:
+                        delta[i] = SP_EPSILON_FLOAT
+                d = float(esdf.at_points(jnp.asarray(sp + delta)))
+                if d < thr:
+                    return True
+    return False
+
+
+def test_sat_box_check_matches_reference_sampling(esdf, rng):
+    sat = OccupancySAT.build(esdf, margin=0.15)
+    for _ in range(40):
+        lo = rng.integers(-45, 35, size=3)
+        lo[2] = rng.integers(1, 15)
+        ext = rng.integers(0, 8, size=3)
+        hi = lo + ext
+        got = bool(sat.box_obstructed(
+            jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32),
+            jnp.asarray(lo * esdf.resolution <= WMIN + SP_EPSILON_FLOAT)))
+        want = _brute_obstructed(esdf, lo, hi, 0.15)
+        assert got == want, (lo, hi, got, want)
+
+
+def test_corridor_expansion_properties(esdf, rng):
+    builder = CorridorBuilder(esdf, WMIN, WMAX, agent_radius=0.15,
+                              dtype=jnp.float64)
+    free_pts = []
+    while len(free_pts) < 10:
+        p = rng.uniform(WMIN + 0.5, WMAX - 0.5)
+        if float(esdf.at_points(jnp.asarray(p))) > 0.4:
+            free_pts.append(p)
+    pts = jnp.asarray(np.stack(free_pts))
+    goals = jnp.asarray(np.tile([[4.0, 4.0, 1.0]], (10, 1)))
+    bmin, bmax, ok = builder.expand_boxes(pts, goals)
+    bmin, bmax = np.asarray(bmin), np.asarray(bmax)
+    assert np.asarray(ok).all()
+    # seed point inside the box
+    assert (pts >= bmin - 1e-9).all() and (pts <= bmax + 1e-9).all()
+    # box within world
+    assert (bmin >= WMIN - 1e-6).all() and (bmax <= WMAX + 1e-6).all()
+    # box interior is actually free: clearance at interior samples >= radius
+    for b in range(10):
+        for _ in range(30):
+            q = rng.uniform(bmin[b] + 1e-3, np.maximum(
+                bmax[b] - 1e-3, bmin[b] + 2e-3))
+            d = float(esdf.at_points(jnp.asarray(q)))
+            assert d > 0.15 - esdf.resolution, (b, q, d)
+    # boxes are maximal-ish: strictly larger than the seed cell
+    assert ((bmax - bmin).max(axis=1) > 0.5).all()
+
+
+def test_forest_e2e():
+    """4 agents crossing the forest with LSC + SFC + grid goal planning."""
+    from lsc_planner_tpu.missions import Mission, AgentSpec
+    from lsc_planner_tpu.sim.simulator import SyncSimulator
+
+    esdf32 = ESDF.from_bt(BT, WMIN, WMAX, dtype=jnp.float64)
+    starts = [(-4.0, -4.0, 1.0), (4.0, 4.0, 1.0),
+              (-4.0, 4.0, 1.0), (4.0, -4.0, 1.0)]
+    goals = [(4.0, 4.0, 1.0), (-4.0, -4.0, 1.0),
+             (4.0, -4.0, 1.0), (-4.0, 4.0, 1.0)]
+    agents = []
+    for qi, (s, g) in enumerate(zip(starts, goals)):
+        a = AgentSpec(id=qi, cid=qi + 1)
+        a.start, a.goal = np.asarray(s, float), np.asarray(g, float)
+        agents.append(a)
+    mission = Mission(world_min=WMIN, world_max=WMAX, agents=agents,
+                      mission_file_name="forest4")
+    p = Param(goal_mode=GoalMode.PRIOR_BASED, world_use_octomap=True,
+              qp_iterations=14)
+    sim = SyncSimulator(mission, p, esdf=esdf32, dtype=jnp.float64)
+    summary = sim.run(max_iterations=400)
+    assert summary["iterations"] < 400, "did not reach goals in forest"
+    assert not summary["is_collided"]
+    assert summary["safety_ratio_agent"] >= 1.0
+    # also verify no collision with the static world along the way:
+    # sampled clearance during flight must exceed the radius
+    state = summary["final_state"]
+    assert float(state.primal_res.max()) < 1e-5
