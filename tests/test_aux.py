@@ -1,0 +1,143 @@
+"""Tests for auxiliary subsystems: obstacle models, KF, logging, replay,
+command sampler, CLI."""
+import json
+import os
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsc_planner_tpu.config import Param
+from lsc_planner_tpu.missions import ObstacleSpec, make_circle_mission
+from lsc_planner_tpu.sim import obstacles as obs_mod
+from lsc_planner_tpu.sim.kalman import LinearKalmanFilter
+
+
+def test_spin_obstacle():
+    spec = ObstacleSpec(kind="spin", size=0.3, max_acc=10.0, downwash=1.0,
+                        axis_position=np.array([0.0, 0, 1]),
+                        axis_ori=np.array([0.0, 0, 1]),
+                        start=np.array([1.0, 0, 1]), speed=1.0)
+    m = obs_mod.SpinObstacle(spec)
+    p0, v0 = m.state(0.0)
+    np.testing.assert_allclose(p0, [1, 0, 1], atol=1e-12)
+    np.testing.assert_allclose(v0, [0, 1, 0], atol=1e-12)
+    # quarter circle at speed 1, radius 1: t = pi/2
+    p1, v1 = m.state(np.pi / 2)
+    np.testing.assert_allclose(p1, [0, 1, 1], atol=1e-9)
+    np.testing.assert_allclose(v1, [-1, 0, 0], atol=1e-9)
+    # speed preserved
+    assert abs(np.linalg.norm(v1) - 1.0) < 1e-9
+
+
+def test_straight_and_patrol():
+    spec = ObstacleSpec(kind="straight", size=0.2, downwash=1.0,
+                        start=np.array([0.0, 0, 1]),
+                        goal=np.array([2.0, 0, 1]), speed=1.0)
+    m = obs_mod.StraightObstacle(spec)
+    p, v = m.state(1.0)
+    np.testing.assert_allclose(p, [1, 0, 1])
+    p, v = m.state(5.0)        # stopped at goal
+    np.testing.assert_allclose(p, [2, 0, 1])
+    np.testing.assert_allclose(v, 0)
+
+    pspec = ObstacleSpec(kind="multisim_patrol", size=0.2, downwash=1.0,
+                         waypoints=np.array([[0.0, 0, 1], [2.0, 0, 1]]),
+                         speed=1.0)
+    pm = obs_mod.PatrolObstacle(pspec)
+    p, _ = pm.state(3.0)       # leg back: 2 -> 0 at t=3 -> x=1
+    np.testing.assert_allclose(p, [1, 0, 1], atol=1e-9)
+    p, _ = pm.state(4.0 + 0.5)  # wrapped into first leg again
+    np.testing.assert_allclose(p, [0.5, 0, 1], atol=1e-9)
+
+
+def test_gaussian_obstacle_replayable():
+    spec = ObstacleSpec(kind="gaussian", size=0.2, max_acc=1.0,
+                        downwash=1.0, start=np.array([0.0, 0, 1]),
+                        initial_vel=np.array([0.5, 0, 0]), max_vel=1.0,
+                        stddev_acc=0.5, acc_update_cycle=0.1)
+    m = obs_mod.GaussianObstacle(spec, seed=7)
+    p1, v1 = m.state(2.0)
+    m2 = obs_mod.GaussianObstacle(spec, seed=7)
+    p2, v2 = m2.state(2.0)
+    np.testing.assert_allclose(p1, p2)
+    assert np.linalg.norm(v1) <= 1.0 + 1e-9
+
+
+def test_kalman_filter_tracks_constant_velocity():
+    kf = LinearKalmanFilter(2, sigma_y_sq=1e-4, sigma_a_sq=0.1)
+    rng = np.random.default_rng(0)
+    v_true = np.array([[1.0, 0, 0], [0, -0.5, 0.2]])
+    p0 = np.array([[0.0, 0, 1], [1.0, 1, 1]])
+    for k in range(60):
+        t = 0.1 * k
+        obs = p0 + v_true * t + rng.normal(0, 0.01, (2, 3))
+        pos, vel = kf.filter(obs, t)
+    np.testing.assert_allclose(vel, v_true, atol=0.1)
+    r = kf.uncertainty_radius(1.0)
+    assert (r > 0).all() and (r < 2.0).all()
+
+
+def test_logging_and_replay_roundtrip(tmp_path):
+    from lsc_planner_tpu.sim.simulator import SyncSimulator
+    from lsc_planner_tpu.sim.logging import ResultLogger, append_summary
+    from lsc_planner_tpu.sim.replay import read_result_csv, compare_runs
+
+    mission = make_circle_mission(4, radius=2.0,
+                                  world=(-4, -4, 0, 4, 4, 2.5))
+    p = Param(qp_iterations=10)
+    sim = SyncSimulator(mission, p, dtype=jnp.float64)
+    log = ResultLogger(str(tmp_path), sim.param, mission.qn)
+    summary = sim.run(max_iterations=60, log=log)
+    path = append_summary(str(tmp_path), sim.param, mission.qn, summary,
+                          mission_file="circle4")
+    assert os.path.exists(log.path)
+    data = read_result_csv(log.path)
+    assert data.qn == 4
+    assert len(data.t) > 10
+    # start positions match the mission
+    np.testing.assert_allclose(
+        data.pos[0], np.stack([a.start for a in mission.agents]),
+        atol=1e-5)
+    # self-compare is exact
+    metrics = compare_runs(data, data)
+    assert metrics["max_pos_err"] == 0.0
+    with open(path) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0].startswith("start_time,total_flight_time")
+    assert len(lines) == 2
+
+
+def test_command_sampler():
+    from lsc_planner_tpu.sim.command import CommandSampler
+    p = Param()
+    cs = CommandSampler(p)
+    traj = np.zeros((2, p.M, p.n + 1, 3))
+    traj[0, :, :, 0] = np.linspace(0, 1, p.M * (p.n + 1)).reshape(
+        p.M, p.n + 1)
+    cs.push(0.0, traj)
+    out = cs.sample(0.1)
+    assert out is not None
+    assert out["pos"].shape == (2, 3)
+    assert 0.0 < out["pos"][0, 0] < 1.0
+    # queued batch activates later
+    cs.push(0.2, np.ones_like(traj))
+    out2 = cs.sample(0.25)
+    np.testing.assert_allclose(out2["pos"][0], [1, 1, 1], atol=1e-6)
+
+
+def test_cli_generate_and_run(tmp_path):
+    from lsc_planner_tpu import cli
+    out = str(tmp_path / "m.json")
+    cli.main(["--generate", "circle:4", "--out", out])
+    assert os.path.exists(out)
+    from lsc_planner_tpu.missions import load_mission
+    m = load_mission(out)
+    assert m.qn == 4
+    # run it briefly
+    rc = cli.main(["--mission", out, "--max-iterations", "3",
+                   "--dtype", "float64",
+                   "--set", "qp_iterations=8"])
+    assert rc is None or rc == 0
