@@ -44,7 +44,9 @@ def state_specs() -> SwarmState:
     return SwarmState(traj=sharded, pos=sharded, vel=sharded, acc=sharded,
                       current_goal=sharded, seq=rep, qp_cost=sharded,
                       primal_res=sharded, safety_agent_min=rep,
-                      distance=rep, sfc=sharded, sfc_initialized=sharded)
+                      distance=rep, sfc=sharded, sfc_initialized=sharded,
+                      start=sharded, desired_goal=sharded,
+                      safety_obs_min=rep)
 
 
 def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
@@ -66,12 +68,15 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
         my_ids = shard * L + jnp.arange(L)
 
         pos_l, vel_l, acc_l = sim.propagate(state)
-        init_l = sim.predict_and_init(state.traj, pos_l, vel_l, state.seq)
+        init_l, pred_l = sim.predict_and_init(state.traj, pos_l, vel_l,
+                                              state.seq)
 
         # --- the communication step: neighbour trajectory exchange ---
-        init_g = jax.lax.all_gather(init_l, AGENT_AXIS, tiled=True)
+        pred_g = jax.lax.all_gather(pred_l, AGENT_AXIS, tiled=True)
         pos_g = jax.lax.all_gather(pos_l, AGENT_AXIS, tiled=True)
         prev_g = jax.lax.all_gather(state.traj, AGENT_AXIS, tiled=True)
+        goal_g = jax.lax.all_gather(state.desired_goal, AGENT_AXIS,
+                                    tiled=True)
 
         self_mask = my_ids[:, None] == jnp.arange(N)[None, :]
 
@@ -80,14 +85,14 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
                              state.traj[:, -1, -1, :])
         res, current_goal, sfc = sim.plan_block(
             pos_l, vel_l, acc_l, init_l, state.seq,
-            init_global=init_g, obs_pos_global=pos_g,
-            obs_goal_global=sim.desired_goal,
+            pred_global=pred_g, obs_pos_global=pos_g,
+            obs_goal_global=goal_g,
             obs_prev_global=prev_g,
             self_mask=self_mask,
             radius=sim.radius[my_ids], downwash=sim.downwash[my_ids],
             nominal_velocity=sim.nominal_velocity[my_ids],
             max_vel=sim.max_vel[my_ids], max_acc=sim.max_acc[my_ids],
-            desired_goal=sim.desired_goal[my_ids],
+            desired_goal=state.desired_goal,
             sfc_prev=state.sfc, sfc_initialize=sfc_initialize,
             sfc_seed=sfc_seed)
 
@@ -110,7 +115,9 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
                                          safety_step),
             distance=state.distance + step_dist,
             sfc=sfc if sfc is not None else state.sfc,
-            sfc_initialized=jnp.ones_like(state.sfc_initialized))
+            sfc_initialized=jnp.ones_like(state.sfc_initialized),
+            start=state.start, desired_goal=state.desired_goal,
+            safety_obs_min=state.safety_obs_min)
         info = CycleInfo(safety_step_min=safety_step, qp_cost=res.cost,
                          primal_res=res.primal_res)
         return new_state, info

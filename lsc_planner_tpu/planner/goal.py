@@ -37,7 +37,7 @@ class GoalPlanner:
     def plan(self, pos, vel, init_traj, desired_goal, seq, radius,
              downwash, prev_traj=None, obs_pos=None, obs_goal=None,
              obs_prev_traj=None, self_mask=None, obs_radius=None,
-             obs_downwash=None):
+             obs_downwash=None, orca_vel=None):
         """Plan current goals for a block of agents.
 
         pos/vel/init_traj/desired_goal: local agent block (L, ...).
@@ -61,7 +61,19 @@ class GoalPlanner:
                                      seq, radius, downwash, obs_pos,
                                      obs_goal, obs_prev_traj, self_mask,
                                      obs_radius, obs_downwash)
+        if mode == GoalMode.ORCA:
+            return self._orca_goal(pos, desired_goal, orca_vel)
         raise NotImplementedError(mode)
+
+    def _orca_goal(self, pos, desired_goal, orca_vel):
+        """goalPlanningWithORCA (traj_planner.cpp:515-526): advance along
+        the ORCA velocity; snap to the desired goal when the goal lies
+        within 0.05 m of the motion segment."""
+        from ..ops.geometry import closest_point_on_segment
+        p = self.param
+        cand = pos + orca_vel * (p.M * p.dt)
+        _, dist = closest_point_on_segment(desired_goal, pos, cand)
+        return jnp.where((dist < 0.05)[:, None], desired_goal, cand)
 
     # ------------------------------------------------------------------
     def _right_hand(self, pos, vel, desired_goal, seq):

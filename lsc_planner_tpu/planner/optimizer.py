@@ -54,6 +54,23 @@ class QPResult(NamedTuple):
     primal_res: jnp.ndarray  # (N,) max constraint violation of the solution
     gap: jnp.ndarray         # (N,) complementarity
     y: jnp.ndarray           # (N, nv) raw solution (warm-start handle)
+    slack: Optional[jnp.ndarray] = None   # (N, S) slack variables (<= 0)
+
+
+class SlackSpec(NamedTuple):
+    """Slack-variable relaxation (traj_optimizer.cpp:306-326, :374-390).
+
+    mode 'collision': one slack per (constraint entry c < n_slack_c,
+    segment m), added to that obstacle's LSC rows; `enable` (N, C) marks
+    which constraint entries actually get slack (SlackMode.COLLISION or
+    the disturbance obs_slack_indices).
+    mode 'dynamical': 2M slacks relaxing velocity (m) / acceleration (M+m)
+    limits for every agent.
+    """
+    mode: str
+    enable: Optional[jnp.ndarray] = None     # (N, C) for 'collision'
+    n_slack_c: int = 0                       # for 'collision'
+    weight: float = 100000.0
 
 
 def _build_equality_basis(M: int, n: int, phi: int, dt: float,
@@ -262,8 +279,8 @@ class TrajOptimizer:
                         continue
                     a = np.zeros((dim, nvx))
                     a[k, col(m, i)] = 1.0
-                    rows.append((a, "lb", k, +1))
-                    rows.append((-a, "ub", k, -1))
+                    rows.append((a, "lb", k, m))
+                    rows.append((-a, "ub", k, m))
 
         # velocity rows: +-(n/dt)(c_{i+1} - c_i) <= vmax, skip m=0,i<2
         for k in range(dim):
@@ -274,8 +291,8 @@ class TrajOptimizer:
                     a = np.zeros((dim, nvx))
                     a[k, col(m, i + 1)] = n / dt
                     a[k, col(m, i)] = -n / dt
-                    rows.append((-a, "vel", k, 0))
-                    rows.append((a, "vel", k, 0))
+                    rows.append((-a, "vel", k, m))
+                    rows.append((a, "vel", k, m))
 
         # acceleration rows, skip m=0,i=0
         for k in range(dim):
@@ -288,11 +305,11 @@ class TrajOptimizer:
                     a[k, col(m, i + 2)] = c2
                     a[k, col(m, i + 1)] = -2 * c2
                     a[k, col(m, i)] = c2
-                    rows.append((-a, "acc", k, 0))
-                    rows.append((a, "acc", k, 0))
+                    rows.append((-a, "acc", k, m))
+                    rows.append((a, "acc", k, m))
 
         A_x = np.stack([r[0] for r in rows])        # (R, dim, nvx)
-        kinds = [(r[1], r[2]) for r in rows]
+        kinds = [(r[1], r[2], r[3]) for r in rows]
         return A_x, kinds
 
     @cached_property
@@ -310,24 +327,14 @@ class TrajOptimizer:
         """
         A_x, kinds = self.static_rows
         A_xj = jnp.asarray(A_x, dtype=gx.dtype)
-        base = []
-        for kind, k in kinds:
-            if kind == "lb":
-                base.append(("w", k, +1))
-            elif kind == "ub":
-                base.append(("w", k, -1))
-            elif kind == "vel":
-                base.append(("v", k, 0))
-            else:
-                base.append(("a", k, 0))
         # b0 per row from per-agent limits
         b_list = []
-        for kind, k, s in base:
-            if kind == "w" and s > 0:
+        for kind, k, _m in kinds:
+            if kind == "lb":
                 b_list.append(jnp.broadcast_to(world_min[k], gx.shape[:1]))
-            elif kind == "w":
+            elif kind == "ub":
                 b_list.append(jnp.broadcast_to(-world_max[k], gx.shape[:1]))
-            elif kind == "v":
+            elif kind == "vel":
                 b_list.append(-max_vel[:, k])
             else:
                 b_list.append(-max_acc[:, k])
@@ -341,6 +348,7 @@ class TrajOptimizer:
     def solve(self, pos, vel, acc, current_goal, nominal_velocity,
               max_vel, max_acc, planes: PlaneConstraints,
               world_min, world_max, y_warm: Optional[jnp.ndarray] = None,
+              slack: Optional[SlackSpec] = None,
               dtype=jnp.float32) -> QPResult:
         """Assemble and solve the swarm QP.
 
@@ -351,11 +359,36 @@ class TrajOptimizer:
             return self._solve_impl(pos, vel, acc, current_goal,
                                     nominal_velocity, max_vel, max_acc,
                                     planes, world_min, world_max, y_warm,
-                                    dtype)
+                                    slack, dtype)
+
+    def _slack_layout(self, slack: SlackSpec, n_rows_static: int,
+                      C: int, dtype):
+        """Static per-row slack-column indices (-1 = none)."""
+        M, n = self.M, self.n
+        if slack.mode == "collision":
+            S = slack.n_slack_c * M
+            col_static = np.full(n_rows_static, -1)
+            cmi = np.full((C, M, n + 1), -1)
+            for c in range(min(slack.n_slack_c, C)):
+                for m in range(M):
+                    cmi[c, m, :] = c * M + m
+            col_planes = cmi.reshape(-1)
+            m_of = np.tile(np.arange(M), slack.n_slack_c)
+        else:   # dynamical
+            S = 2 * M
+            _, kinds = self.static_rows
+            col_static = np.asarray(
+                [m if kind == "vel" else (M + m if kind == "acc" else -1)
+                 for kind, _k, m in kinds])
+            col_planes = np.full(C * M * (n + 1), -1)
+            m_of = np.concatenate([np.arange(M), np.arange(M)])
+        col = np.concatenate([col_static, col_planes])
+        weights = 2.0 * slack.weight * (self.M - m_of) / self.M
+        return S, jnp.asarray(col), jnp.asarray(weights, dtype)
 
     def _solve_impl(self, pos, vel, acc, current_goal, nominal_velocity,
                     max_vel, max_acc, planes, world_min, world_max,
-                    y_warm, dtype):
+                    y_warm, slack, dtype):
         p = self.param
         N = pos.shape[0]
         M, n, phi, dim = self.M, self.n, p.phi, self.dim
@@ -433,11 +466,57 @@ class TrajOptimizer:
         b = jnp.concatenate([b_st, b_pl], axis=1)
         mask = jnp.concatenate([mask_st, mask_pl], axis=1)
 
+        # --- optional slack-variable extension ---
+        slack_vals = None
+        slack_wts = None
+        if slack is not None:
+            R_static = A_st.shape[1]
+            R = A.shape[1]
+            S, col, slack_wts = self._slack_layout(slack, R_static, C,
+                                                   dtype)
+            onehot = jax.nn.one_hot(col, S, dtype=dtype)       # (R, S)
+            if slack.mode == "collision":
+                c_of_row = jnp.concatenate([
+                    jnp.full((R_static,), -1, jnp.int32),
+                    jnp.repeat(jnp.arange(C, dtype=jnp.int32),
+                               M * (n + 1))])
+                en = jnp.where(c_of_row[None, :] >= 0,
+                               jnp.take_along_axis(
+                                   slack.enable.astype(dtype),
+                                   jnp.clip(c_of_row, 0)[None, :].repeat(
+                                       N, 0), axis=1),
+                               0.0)                            # (N, R)
+                A_sl = -onehot[None] * en[..., None]
+            else:
+                A_sl = jnp.broadcast_to(-onehot[None], (N, R, S))
+            eyeS = jnp.eye(S, dtype=dtype)
+            bound_rows = jnp.concatenate(
+                [jnp.zeros((N, S, nv), dtype),
+                 jnp.broadcast_to(-eyeS[None], (N, S, S))], axis=2)
+            A = jnp.concatenate(
+                [jnp.concatenate([A, A_sl], axis=2), bound_rows], axis=1)
+            b = jnp.concatenate([b, jnp.zeros((N, S), dtype)], axis=1)
+            mask = jnp.concatenate([mask, jnp.ones((N, S), bool)], axis=1)
+            P_ext = jnp.zeros((N, nv + S, nv + S), dtype)
+            P_ext = P_ext.at[:, :nv, :nv].set(P)
+            P_ext = P_ext.at[:, nv:, nv:].set(
+                jnp.diag(slack_wts)[None, :, :])
+            P = P_ext
+            q = jnp.concatenate([q, jnp.zeros((N, S), dtype)], axis=1)
+            if y_warm is not None:
+                y_warm = jnp.concatenate(
+                    [y_warm, jnp.zeros((N, S), dtype)], axis=1)
+
         sol = qp_ops.solve_qp(P, q, A, b, mask=mask, y0=y_warm,
                               iters=p.qp_iterations)
 
+        y_sol = sol.y
+        if slack is not None:
+            slack_vals = y_sol[:, nv:]
+            y_sol = y_sol[:, :nv]
+
         # --- recover control points ---
-        y_dims = sol.y.reshape(N, dim, nf)
+        y_dims = y_sol.reshape(N, dim, nf)
         x = jnp.einsum("pf,nkf->nkp", F, y_dims) + gx     # (N, dim, nvx)
         traj = x.reshape(N, dim, M, n + 1).transpose(0, 2, 3, 1)
 
@@ -448,6 +527,10 @@ class TrajOptimizer:
         cost_term = w_t * jnp.einsum(
             "nm,nmk->n", tmask, (endpoints - current_goal[:, None]) ** 2)
         cost = cost_ci + cost_term
+        if slack_vals is not None:
+            cost = cost + 0.5 * jnp.einsum("s,ns->n", slack_wts,
+                                           slack_vals ** 2)
 
         return QPResult(traj=traj, cost=cost, primal_res=sol.primal_res,
-                        gap=sol.gap, y=sol.y)
+                        gap=sol.gap, y=sol.y[:, :nv] if slack is not None
+                        else sol.y, slack=slack_vals)

@@ -55,6 +55,9 @@ class SwarmState(NamedTuple):
     distance: jnp.ndarray      # () running total flight distance
     sfc: jnp.ndarray           # (N, M, 6) SFC boxes [min, max] per segment
     sfc_initialized: jnp.ndarray  # (N,) bool (flag_initialize_sfc analog)
+    start: jnp.ndarray         # (N, 3) mission start (patrol swaps)
+    desired_goal: jnp.ndarray  # (N, 3) mission goal (patrol/services)
+    safety_obs_min: jnp.ndarray    # () running min agent-obstacle ratio
 
 
 class CycleInfo(NamedTuple):
@@ -100,6 +103,25 @@ class SyncSimulator:
                 self.esdf, self.mission.world_min, self.mission.world_max,
                 agent_radius=float(self.mission.agents[0].radius),
                 dtype=self.dtype)
+
+        # dynamic obstacles (obstacle_generator.hpp analog)
+        self.obstacle_generator = None
+        self.O_dyn = self.mission.on
+        if self.O_dyn:
+            from .obstacles import ObstacleGenerator
+            self.obstacle_generator = ObstacleGenerator(
+                self.mission, noise_std=0.0)
+            self.obs_radius_dyn = jnp.asarray(
+                self.obstacle_generator.radii, dt)
+            self.obs_downwash_dyn = jnp.asarray(
+                self.obstacle_generator.downwash, dt)
+            self.obs_max_acc_dyn = jnp.asarray(
+                self.obstacle_generator.max_acc, dt)
+        else:
+            self.obs_radius_dyn = jnp.zeros((0,), dt)
+            self.obs_downwash_dyn = jnp.ones((0,), dt)
+            self.obs_max_acc_dyn = jnp.zeros((0,), dt)
+
         self._cycle_jit = jax.jit(self._cycle)
         self.goal_planner = goal_mod.GoalPlanner(self.mission, p, self.esdf,
                                                  dtype=self.dtype)
@@ -121,6 +143,9 @@ class SyncSimulator:
             distance=jnp.zeros((), dt),
             sfc=jnp.zeros((N, M, 6), dt),
             sfc_initialized=jnp.zeros((N,), bool),
+            start=self.start,
+            desired_goal=self.desired_goal,
+            safety_obs_min=jnp.asarray(np.inf, dt),
         )
 
     # ------------------------------------------------------------------
@@ -136,29 +161,72 @@ class SyncSimulator:
         acc = jnp.where(is_first, state.acc, rolled["acc"])
         return pos, vel, acc
 
-    def predict_and_init(self, traj, pos, vel, seq):
-        """Previous-solution shift (falls back to constant velocity for
-        seq < 2, traj_planner.cpp:829-864, :997-1016).  In LSC mode the
-        same shifted tensor is both this agent's initial trajectory and
-        every other agent's prediction of it."""
+    def orca_velocities(self, pos, vel, current_goal):
+        """All-agent ORCA velocities with reference parameterization
+        (updateORCAVelocity, traj_planner.cpp:1063-1223): radius inflated
+        by orca_inflation_ratio, preferred velocity toward the current goal
+        capped by max_vel * pref_velocity_ratio (including the reference's
+        squared-norm-vs-speed comparison, replicated for parity)."""
+        from ..ops import orca as orca_ops
         p = self.param
-        shifted = pred.shift_previous_solution(traj)
-        const_vel = pred.constant_velocity_traj(pos, vel, self.M, self.n,
-                                                p.dt)
-        use_shift = (seq >= 1)[..., None, None, None]
-        return jnp.where(use_shift, shifted, const_vel)
+        pref_speed = self.max_vel[:, 0] * p.orca_pref_velocity_ratio
+        gvec = current_goal - pos
+        too_fast = jnp.sum(gvec * gvec, axis=-1) > pref_speed
+        gnorm = jnp.linalg.norm(gvec, axis=-1, keepdims=True)
+        gvec = jnp.where(too_fast[:, None],
+                         gvec / jnp.maximum(gnorm, 1e-9) *
+                         pref_speed[:, None], gvec)
+        return orca_ops.orca_velocities(
+            pos, vel, self.radius * p.orca_inflation_ratio,
+            pref_vel=gvec, max_speed=pref_speed,
+            is_dynamic=jnp.zeros((self.N,), bool),
+            time_horizon=p.orca_horizon, time_step=0.5,
+            force_z_zero=(p.world_dimension == 2))
+
+    def _traj_for_mode(self, mode, traj, pos, vel, seq):
+        """Trajectory builder shared by the prediction and initial-traj
+        stages (traj_planner.cpp:610-1061)."""
+        from ..config import PredictionMode, InitialTrajMode
+        p = self.param
+        if mode in (PredictionMode.PREVIOUS_SOLUTION,
+                    InitialTrajMode.PREVIOUS_SOLUTION):
+            shifted = pred.shift_previous_solution(traj)
+            const_vel = pred.constant_velocity_traj(pos, vel, self.M,
+                                                    self.n, p.dt)
+            use_shift = (seq >= 1)[..., None, None, None]
+            return jnp.where(use_shift, shifted, const_vel)
+        if mode in (PredictionMode.VELOCITY, InitialTrajMode.VELOCITY):
+            return pred.constant_velocity_traj(pos, vel, self.M, self.n,
+                                               p.dt)
+        if mode in (PredictionMode.POSITION, InitialTrajMode.POSITION):
+            return pred.constant_position_traj(pos, self.M, self.n)
+        raise NotImplementedError(mode)
+
+    def predict_and_init(self, traj, pos, vel, seq):
+        """Obstacle prediction + initial trajectory.  In LSC mode both are
+        the previous-solution shift, so one tensor serves as this agent's
+        initial trajectory and every other agent's prediction of it."""
+        p = self.param
+        prediction = self._traj_for_mode(p.prediction_mode, traj, pos,
+                                         vel, seq)
+        if p.initial_traj_mode.value == p.prediction_mode.value:
+            init = prediction
+        else:
+            init = self._traj_for_mode(p.initial_traj_mode, traj, pos,
+                                       vel, seq)
+        return init, prediction
 
     def plan_block(self, pos, vel, acc, init, seq,
-                   init_global, obs_pos_global, obs_goal_global,
+                   pred_global, obs_pos_global, obs_goal_global,
                    obs_prev_global, self_mask,
                    radius, downwash, nominal_velocity, max_vel, max_acc,
                    desired_goal, sfc_prev=None, sfc_initialize=None,
-                   sfc_seed=None, y_warm=None):
+                   sfc_seed=None, y_warm=None, dyn_pos=None, dyn_vel=None):
         """Plan one block of agents (L, ...) against the global obstacle
         view (N_total, ...).  Returns (QPResult, current_goal, sfc)."""
         p = self.param
         L = pos.shape[0]
-        O = init_global.shape[0]
+        O = pred_global.shape[0]
         M, n = self.M, self.n
 
         current_goal = self.goal_planner.plan(
@@ -178,18 +246,48 @@ class SyncSimulator:
                          axis=-1)
             d2 = jnp.where(self_mask, jnp.inf, d2)
             _, nbr = jax.lax.top_k(-d2, K)                     # (L, K)
-            obs_pred = init_global[nbr]                        # (L,K,M,n+1,3)
+            obs_pred = pred_global[nbr]                        # (L,K,M,n+1,3)
             obs_is_agent = jnp.ones((L, K), bool)
             obs_mask = jnp.ones((L, K), bool)
             obs_radius = self.radius[nbr]
             obs_downwash = self.downwash[nbr]
+            obs_max_acc = self.max_acc[nbr][..., 0]
         else:
-            obs_pred = jnp.broadcast_to(init_global[None],
+            obs_pred = jnp.broadcast_to(pred_global[None],
                                         (L, O, M, n + 1, 3))
             obs_is_agent = jnp.ones((L, O), bool)
             obs_mask = ~self_mask
             obs_radius = jnp.broadcast_to(self.radius[None, :], (L, O))
             obs_downwash = jnp.broadcast_to(self.downwash[None, :], (L, O))
+            obs_max_acc = jnp.broadcast_to(self.max_acc[None, :, 0],
+                                           (L, O))
+
+        # --- append mission dynamic obstacles (constant-velocity
+        #     prediction for non-agents, traj_planner.cpp:838-847) ---
+        if self.O_dyn and dyn_pos is not None:
+            Od = self.O_dyn
+            dyn_pred = pred.constant_velocity_traj(dyn_pos, dyn_vel, M, n,
+                                                   p.dt)
+            obs_pred = jnp.concatenate(
+                [obs_pred, jnp.broadcast_to(dyn_pred[None],
+                                            (L, Od, M, n + 1, 3))], axis=1)
+            obs_is_agent = jnp.concatenate(
+                [obs_is_agent, jnp.zeros((L, Od), bool)], axis=1)
+            obs_mask = jnp.concatenate(
+                [obs_mask, jnp.ones((L, Od), bool)], axis=1)
+            obs_radius = jnp.concatenate(
+                [obs_radius, jnp.broadcast_to(self.obs_radius_dyn[None],
+                                              (L, Od))], axis=1)
+            obs_downwash = jnp.concatenate(
+                [obs_downwash,
+                 jnp.broadcast_to(self.obs_downwash_dyn[None], (L, Od))],
+                axis=1)
+            obs_max_acc = jnp.concatenate(
+                [obs_max_acc,
+                 jnp.broadcast_to(self.obs_max_acc_dyn[None], (L, Od))],
+                axis=1)
+
+        slack_spec = None
         if p.planner_mode == PlannerMode.LSC:
             planes = cons.lsc_planes(init, obs_pred, radius, downwash,
                                      obs_radius, obs_downwash,
@@ -198,6 +296,19 @@ class SyncSimulator:
             planes = cons.bvc_planes(init, obs_pred, radius, downwash,
                                      obs_radius, obs_downwash,
                                      obs_is_agent, obs_mask)
+        elif p.planner_mode == PlannerMode.RECIPROCAL_RSFC:
+            from ..planner.optimizer import SlackSpec
+            C_obs = obs_pred.shape[1]
+            obs_sizes = pred.obstacle_size_prediction(
+                obs_radius, obs_max_acc, M, n, p.dt,
+                p.obs_uncertainty_horizon, p.obs_size_prediction)
+            planes = cons.rsfc_planes(init, obs_pred, obs_sizes, radius,
+                                      downwash, obs_radius, obs_downwash,
+                                      obs_is_agent, obs_mask)
+            slack_spec = SlackSpec(
+                mode="collision",
+                enable=obs_mask, n_slack_c=C_obs,
+                weight=p.slack_collision_weight)
         else:
             raise NotImplementedError(p.planner_mode)
 
@@ -221,17 +332,44 @@ class SyncSimulator:
             nominal_velocity=nominal_velocity,
             max_vel=max_vel, max_acc=max_acc,
             planes=planes, world_min=self.world_min,
-            world_max=self.world_max, y_warm=y_warm, dtype=self.dtype)
+            world_max=self.world_max, y_warm=y_warm, slack=slack_spec,
+            dtype=self.dtype)
         return res, current_goal, sfc
 
+    def _patrol_swap(self, state: SwarmState, pos):
+        """PATROL: swap start and desired goal when an agent reaches its
+        goal (goalPlanning, traj_planner.cpp:479-485)."""
+        p = self.param
+        if not p.multisim_patrol:
+            return state.start, state.desired_goal
+        near = jnp.linalg.norm(pos - state.desired_goal, axis=-1) \
+            < p.goal_threshold
+        new_goal = jnp.where(near[:, None], state.start,
+                             state.desired_goal)
+        new_start = jnp.where(near[:, None], state.desired_goal,
+                              state.start)
+        return new_start, new_goal
+
     # ------------------------------------------------------------------
-    def _cycle(self, state: SwarmState) -> tuple:
+    def _cycle(self, state: SwarmState, dyn_pos=None, dyn_vel=None
+               ) -> tuple:
         """One synchronous planning cycle for all agents (single device)."""
         p = self.param
         N = self.N
+        dt = self.dtype
+        if dyn_pos is None:
+            dyn_pos = jnp.zeros((self.O_dyn, 3), dt)
+            dyn_vel = jnp.zeros((self.O_dyn, 3), dt)
 
         pos, vel, acc = self.propagate(state)
-        init = self.predict_and_init(state.traj, pos, vel, state.seq)
+        start, desired_goal = self._patrol_swap(state, pos)
+
+        if p.planner_mode == PlannerMode.ORCA:
+            return self._cycle_orca(state, pos, vel, acc, start,
+                                    desired_goal, dyn_pos)
+
+        init, prediction = self.predict_and_init(state.traj, pos, vel,
+                                                 state.seq)
 
         # SFC seed: the previous solution endpoint, or the current position
         # on (re-)initialization (traj_planner.cpp:1454-1473)
@@ -240,16 +378,16 @@ class SyncSimulator:
                              state.traj[:, -1, -1, :])
         res, current_goal, sfc = self.plan_block(
             pos, vel, acc, init, state.seq,
-            init_global=init, obs_pos_global=pos,
-            obs_goal_global=self.desired_goal,
+            pred_global=prediction, obs_pos_global=pos,
+            obs_goal_global=desired_goal,
             obs_prev_global=state.traj,
             self_mask=jnp.eye(N, dtype=bool),
             radius=self.radius, downwash=self.downwash,
             nominal_velocity=self.nominal_velocity,
             max_vel=self.max_vel, max_acc=self.max_acc,
-            desired_goal=self.desired_goal,
+            desired_goal=desired_goal,
             sfc_prev=state.sfc, sfc_initialize=sfc_initialize,
-            sfc_seed=sfc_seed)
+            sfc_seed=sfc_seed, dyn_pos=dyn_pos, dyn_vel=dyn_vel)
 
         # safety audit + metrics over the upcoming time step
         # (savePlanningResult, multi_sync_simulator.cpp:446-503)
@@ -259,6 +397,11 @@ class SyncSimulator:
         step_dist = audit.step_distance(
             res.traj, p.dt, p.multisim_record_time_step,
             p.multisim_time_step)
+        if self.O_dyn:
+            obs_safety = audit.obstacle_safety_ratio(
+                pos, dyn_pos, self.radius, self.obs_radius_dyn)
+        else:
+            obs_safety = jnp.asarray(np.inf, dt)
 
         new_state = SwarmState(
             traj=res.traj, pos=pos, vel=vel, acc=acc,
@@ -270,17 +413,92 @@ class SyncSimulator:
             distance=state.distance + step_dist,
             sfc=sfc if sfc is not None else state.sfc,
             sfc_initialized=jnp.ones_like(state.sfc_initialized),
+            start=start, desired_goal=desired_goal,
+            safety_obs_min=jnp.minimum(state.safety_obs_min, obs_safety),
         )
         info = CycleInfo(safety_step_min=safety_step, qp_cost=res.cost,
                          primal_res=res.primal_res)
         return new_state, info
 
+    def _cycle_orca(self, state: SwarmState, pos, vel, acc, start,
+                    desired_goal, dyn_pos):
+        """ORCA planner mode (planORCA, traj_planner.cpp:375-387): the new
+        trajectory is a straight line at the ORCA velocity; no QP."""
+        p = self.param
+        if p.goal_mode == GoalMode.ORCA:
+            orca_v = self.orca_velocities(pos, vel, state.current_goal)
+            current_goal = self.goal_planner.plan(
+                pos=pos, vel=vel, init_traj=state.traj,
+                desired_goal=desired_goal, seq=state.seq,
+                radius=self.radius, downwash=self.downwash,
+                orca_vel=orca_v)
+        else:
+            current_goal = self.goal_planner.plan(
+                pos=pos, vel=vel, init_traj=state.traj,
+                desired_goal=desired_goal, seq=state.seq,
+                radius=self.radius, downwash=self.downwash,
+                prev_traj=state.traj)
+            orca_v = self.orca_velocities(pos, vel, current_goal)
+
+        traj = pred.constant_velocity_traj(pos, orca_v, self.M, self.n,
+                                           p.dt)
+        safety_step = audit.step_safety_ratio(
+            traj, self.radius, self.downwash, p.dt,
+            p.multisim_record_time_step, p.multisim_time_step)
+        step_dist = audit.step_distance(
+            traj, p.dt, p.multisim_record_time_step, p.multisim_time_step)
+        zeros = jnp.zeros((self.N,), self.dtype)
+        new_state = SwarmState(
+            traj=traj, pos=pos, vel=vel, acc=acc,
+            current_goal=current_goal, seq=state.seq + 1,
+            qp_cost=zeros, primal_res=zeros,
+            safety_agent_min=jnp.minimum(state.safety_agent_min,
+                                         safety_step),
+            distance=state.distance + step_dist,
+            sfc=state.sfc,
+            sfc_initialized=state.sfc_initialized,
+            start=start, desired_goal=desired_goal,
+            safety_obs_min=state.safety_obs_min)
+        info = CycleInfo(safety_step_min=safety_step, qp_cost=zeros,
+                         primal_res=zeros)
+        return new_state, info
+
     # ------------------------------------------------------------------
     def is_finished(self, state: SwarmState) -> bool:
         """All agents within goal_threshold of their desired goals
-        (isFinished, multi_sync_simulator.cpp:358-380)."""
-        d = jnp.linalg.norm(state.pos - self.desired_goal, axis=-1)
+        (isFinished, multi_sync_simulator.cpp:358-380); never finishes in
+        patrol mode."""
+        if self.param.multisim_patrol:
+            return False
+        d = jnp.linalg.norm(state.pos - state.desired_goal, axis=-1)
         return bool(jnp.max(d) < self.param.goal_threshold)
+
+    # --- service analogs (multi_sync_simulator.cpp:696-728) ---
+    def update_goals(self, state: SwarmState, new_goals) -> SwarmState:
+        """/update_goal: mission hot-swap of desired goals."""
+        return state._replace(
+            desired_goal=jnp.asarray(new_goals, self.dtype))
+
+    def go_back(self, state: SwarmState) -> SwarmState:
+        """GOBACK: return every agent to its mission start position."""
+        return state._replace(start=state.desired_goal,
+                              desired_goal=state.start)
+
+    def inject_positions(self, state: SwarmState, real_pos) -> SwarmState:
+        """Experiment-mode external pose injection with disturbance reset
+        (update(), multi_sync_simulator.cpp:210-246): agents whose observed
+        position deviates beyond the reset threshold restart from the
+        observation with zeroed derivatives and a re-seeded SFC."""
+        real_pos = jnp.asarray(real_pos, self.dtype)
+        rolled = jax.vmap(lambda tr: bz.traj_state(
+            tr, self.param.multisim_time_step, self.param.dt))(state.traj)
+        dev = jnp.linalg.norm(rolled["pos"] - real_pos, axis=-1) \
+            > self.param.multisim_reset_threshold
+        frozen = jnp.broadcast_to(real_pos[:, None, None, :],
+                                  state.traj.shape)
+        return state._replace(
+            traj=jnp.where(dev[:, None, None, None], frozen, state.traj),
+            sfc_initialized=state.sfc_initialized & ~dev)
 
     def run(self, max_iterations: Optional[int] = None,
             log: Optional[object] = None,
@@ -303,7 +521,23 @@ class SyncSimulator:
         iters_done = 0
         for it in range(max_iter):
             t0 = time.perf_counter()
-            state, info = cycle(state)
+            if self.obstacle_generator is not None:
+                # host-side analytic obstacle evaluation
+                # (obstacle_generator.hpp:33-54); chasing obstacles pursue
+                # the nearest agent
+                t_sim = it * p.multisim_time_step
+                from .obstacles import ChasingObstacle
+                host_pos = np.asarray(state.pos)
+                for m in self.obstacle_generator.models:
+                    if isinstance(m, ChasingObstacle):
+                        d = np.linalg.norm(host_pos - m.pos, axis=-1)
+                        m.set_goal_point(host_pos[int(np.argmin(d))])
+                dp, dv = self.obstacle_generator.update(t_sim)
+                dyn_pos = jnp.asarray(dp, self.dtype)
+                dyn_vel = jnp.asarray(dv, self.dtype)
+                state, info = cycle(state, dyn_pos, dyn_vel)
+            else:
+                state, info = cycle(state)
             state.traj.block_until_ready()
             plan_times.append(time.perf_counter() - t0)
             iters_done = it + 1
@@ -322,6 +556,7 @@ class SyncSimulator:
             "total_flight_distance": float(state.distance),
             "is_collided": bool(is_collided),
             "safety_ratio_agent": float(state.safety_agent_min),
+            "safety_ratio_obs": float(state.safety_obs_min),
             "average_planning_time": float(pt.mean()) if pt.size else 0.0,
             "min_planning_time": float(pt.min()) if pt.size else 0.0,
             "max_planning_time": float(pt.max()) if pt.size else 0.0,
