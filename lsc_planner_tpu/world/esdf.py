@@ -43,12 +43,21 @@ class ESDF:
     @classmethod
     def from_occupancy(cls, occ: np.ndarray, origin_key, resolution: float,
                        max_dist: float = 1.0, dtype=jnp.float32) -> "ESDF":
-        from scipy import ndimage
-        if occ.any():
-            d = ndimage.distance_transform_edt(~occ, sampling=resolution)
-        else:
-            d = np.full(occ.shape, np.inf)
-        d = np.minimum(d, max_dist).astype(np.float32)
+        d = None
+        try:
+            from .. import native
+            if native.load() is not None and occ.any():
+                d = native.edt3d(occ, resolution, max_dist)
+        except Exception:
+            d = None
+        if d is None:
+            from scipy import ndimage
+            if occ.any():
+                d = ndimage.distance_transform_edt(~occ,
+                                                   sampling=resolution)
+            else:
+                d = np.full(occ.shape, np.inf)
+            d = np.minimum(d, max_dist).astype(np.float32)
         return cls(dist=jnp.asarray(d, dtype),
                    origin_key=np.asarray(origin_key, np.int64),
                    resolution=float(resolution), max_dist=float(max_dist),
@@ -57,6 +66,22 @@ class ESDF:
     @classmethod
     def from_bt(cls, path: str, world_min, world_max,
                 max_dist: float = 1.0, dtype=jnp.float32) -> "ESDF":
+        res = None
+        try:
+            from .. import native
+            if native.load() is not None:
+                res = native.bt_resolution(path)
+        except Exception:
+            res = None
+        if res is not None and res > 0:
+            from .. import native
+            world_min = np.asarray(world_min, np.float64)
+            world_max = np.asarray(world_max, np.float64)
+            k0 = np.floor(world_min / res).astype(np.int64)
+            k1 = np.floor(world_max / res).astype(np.int64)
+            dims = k1 - k0 + 1
+            occ = native.bt_rasterize(path, k0, dims)
+            return cls.from_occupancy(occ, k0, res, max_dist, dtype)
         from .octomap_io import load_bt, rasterize
         tree = load_bt(path)
         occ, k0 = rasterize(tree, world_min, world_max)
