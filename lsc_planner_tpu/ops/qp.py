@@ -119,7 +119,12 @@ def _solve_qp_impl(P, q, A, b, mask, y0, iters, reg, s_min, equilibrate):
         mu = jnp.mean(s * lam, axis=-1)
 
         D = lam / s
-        H = P + jnp.einsum("...rv,...r,...rw->...vw", A, D, A) + reg * eye
+        H = P + jnp.einsum("...rv,...r,...rw->...vw", A, D, A)
+        # relative ridge: f32 rounding at the ~1e4 scale of the jerk Gram
+        # can cost positive-definiteness; an absolute 1e-8 is invisible
+        diag_mean = jnp.einsum("...vv->...", H) / nv
+        ridge = reg * jnp.maximum(diag_mean, 1.0)
+        H = H + ridge[..., None, None] * eye
         L = jnp.linalg.cholesky(H)
 
         # predictor (affine scaling)
@@ -136,11 +141,18 @@ def _solve_qp_impl(P, q, A, b, mask, y0, iters, reg, s_min, equilibrate):
         dy, ds, dlam = kkt_solve(L, A, lam, s, r_d, r_p, r_c)
         a_p = step_len(s, ds)
         a_d = step_len(lam, dlam)
-        y = y + a_p[..., None] * dy
-        s = s + a_p[..., None] * ds
-        lam = lam + a_d[..., None] * dlam
-        lam = jnp.maximum(lam, 1e-12)
-        s = jnp.maximum(s, 1e-12)
+        y_n = y + a_p[..., None] * dy
+        s_n = jnp.maximum(s + a_p[..., None] * ds, 1e-12)
+        lam_n = jnp.maximum(lam + a_d[..., None] * dlam, 1e-12)
+        # NaN guard: an agent whose factorization degenerates holds its
+        # previous (warm-started, feasible) iterate instead of poisoning
+        # the batch
+        ok = (jnp.all(jnp.isfinite(y_n), axis=-1) &
+              jnp.all(jnp.isfinite(s_n), axis=-1) &
+              jnp.all(jnp.isfinite(lam_n), axis=-1))
+        y = jnp.where(ok[..., None], y_n, y)
+        s = jnp.where(ok[..., None], s_n, s)
+        lam = jnp.where(ok[..., None], lam_n, lam)
         return (y, lam, s), None
 
     (y, lam, s), _ = jax.lax.scan(body, (y0, lam0, s0), None, length=iters)
