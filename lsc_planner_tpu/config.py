@@ -164,6 +164,12 @@ class Param:
     hull_iterations: int = 96
     # Fixed iteration cap for SFC box expansion (per axis sweep).
     sfc_expansion_cap: int = 256
+    # Apply the right-hand-rule goal displacement
+    # (traj_planner.cpp:528-538) inside priority-based goal planning when
+    # an agent is deadlocked (wedged against agents/trees with a frozen
+    # LOS goal).  Extension beyond the reference, which leaves such local
+    # minima to chance; disable for strict behavioural parity.
+    deadlock_rescue: bool = True
     # float dtype used on device
     dtype: str = "float32"
 

@@ -154,8 +154,25 @@ class GoalPlanner:
         clamped = jnp.where(dist > p.goal_radius,
                             init_end + _normalize(delta) * p.goal_radius,
                             los_goal)
+        out = jnp.where(too_close[:, None], away, clamped)
 
-        return jnp.where(too_close[:, None], away, clamped)
+        if p.deadlock_rescue:
+            # right-hand-rule escape from local minima (wedged against a
+            # parked agent or a tree with a frozen LOS goal); reuses the
+            # reference's deadlock test + displacement
+            # (traj_planner.cpp:1733-1748, :528-538)
+            deadlock = ((seq > p.deadlock_seq_threshold) &
+                        (jnp.linalg.norm(vel, axis=-1)
+                         < p.deadlock_velocity_threshold) &
+                        (dist_to_goal > p.goal_threshold))
+            z_axis = jnp.asarray([0.0, 0.0, 1.0], pos.dtype)
+            right = jnp.cross(desired_goal - pos,
+                              jnp.broadcast_to(z_axis, pos.shape))
+            rescue = pos + _normalize(right) * \
+                jnp.minimum(jnp.linalg.norm(right, axis=-1,
+                                            keepdims=True), p.goal_radius)
+            out = jnp.where(deadlock[:, None], rescue, out)
+        return out
 
 
 def _normalize(v, eps=1e-12):
