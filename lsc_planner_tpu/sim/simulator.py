@@ -464,6 +464,78 @@ class SyncSimulator:
         return new_state, info
 
     # ------------------------------------------------------------------
+    def profile_stages(self, state: SwarmState, n_cycles: int = 5) -> dict:
+        """Per-stage device timing with the reference's stage taxonomy
+        (PlanningTimeStatistics, include/sp_const.hpp:89-128; inline stage
+        timers traj_planner.cpp:349-364).  Each stage is jitted separately
+        and timed with block_until_ready; the fused production cycle has no
+        stage boundaries, so these are diagnostic numbers."""
+        p = self.param
+        N = self.N
+
+        stage_pred = jax.jit(lambda st: self.predict_and_init(
+            st.traj, *self.propagate(st)[:2], st.seq))
+        stage_goal = jax.jit(lambda pos, vel, init, st:
+                             self.goal_planner.plan(
+                                 pos=pos, vel=vel, init_traj=init,
+                                 desired_goal=st.desired_goal, seq=st.seq,
+                                 radius=self.radius,
+                                 downwash=self.downwash,
+                                 prev_traj=st.traj))
+
+        def lsc_stage(init, prediction):
+            obs_pred = jnp.broadcast_to(prediction[None],
+                                        (N, N, self.M, self.n + 1, 3))
+            return cons.lsc_planes(
+                init, obs_pred, self.radius, self.downwash,
+                jnp.broadcast_to(self.radius[None], (N, N)),
+                jnp.broadcast_to(self.downwash[None], (N, N)),
+                jnp.ones((N, N), bool), ~jnp.eye(N, dtype=bool))
+        stage_lsc = jax.jit(lsc_stage)
+
+        times = {}
+
+        def timeit(name, fn, *args):
+            fn(*args)  # compile
+            outs = None
+            t0 = time.perf_counter()
+            for _ in range(n_cycles):
+                outs = fn(*args)
+                jax.tree.map(
+                    lambda x: x.block_until_ready()
+                    if hasattr(x, "block_until_ready") else x, outs)
+            times[name] = (time.perf_counter() - t0) / n_cycles
+            return outs
+
+        init, prediction = timeit("obstacle_prediction", stage_pred, state)
+        times["initial_traj"] = 0.0   # shared with prediction in LSC mode
+        pos, vel, acc = self.propagate(state)
+        timeit("goal_planning", stage_goal, pos, vel, init, state)
+        planes = timeit("lsc_generation", stage_lsc, init, prediction)
+        if self.corridor is not None:
+            from ..world.corridor import update_sfc
+            stage_sfc = jax.jit(lambda sfc, seed, goal, flag: update_sfc(
+                sfc, seed, goal, self.corridor, flag))
+            timeit("sfc_generation", stage_sfc, state.sfc, pos,
+                   state.desired_goal, ~state.sfc_initialized)
+        else:
+            times["sfc_generation"] = 0.0
+        planes_c = cons.concat_planes(planes, n_ctrl=self.n + 1)
+        stage_qp = jax.jit(lambda pos, vel, acc, goal, pl, yw:
+                           self.optimizer.solve(
+                               pos, vel, acc, goal,
+                               nominal_velocity=self.nominal_velocity,
+                               max_vel=self.max_vel, max_acc=self.max_acc,
+                               planes=pl, world_min=self.world_min,
+                               world_max=self.world_max, y_warm=yw,
+                               dtype=self.dtype))
+        timeit("traj_optimization", stage_qp, pos, vel, acc,
+               state.desired_goal, planes_c,
+               self.optimizer.extract_y(init).astype(self.dtype))
+        times["total"] = sum(times.values())
+        return times
+
+    # ------------------------------------------------------------------
     def is_finished(self, state: SwarmState) -> bool:
         """All agents within goal_threshold of their desired goals
         (isFinished, multi_sync_simulator.cpp:358-380); never finishes in
@@ -502,7 +574,7 @@ class SyncSimulator:
 
     def run(self, max_iterations: Optional[int] = None,
             log: Optional[object] = None,
-            cycle_fn=None) -> dict:
+            cycle_fn=None, profile: bool = False) -> dict:
         """Host loop: cycle until all agents reach goals or iteration cap.
 
         Returns a summary dict in the shape of the reference's summary CSV
@@ -551,7 +623,11 @@ class SyncSimulator:
         wall = time.perf_counter() - t_wall0
         pt = np.asarray(plan_times[1:]) if len(plan_times) > 1 else \
             np.asarray(plan_times)
+        stage_times = {}
+        if profile and self.param.planner_mode != PlannerMode.ORCA:
+            stage_times = self.profile_stages(state)
         return {
+            "stage_times": stage_times,
             "total_flight_time": flight_time,
             "total_flight_distance": float(state.distance),
             "is_collided": bool(is_collided),

@@ -71,8 +71,18 @@ def test_plane_constraints_satisfied_when_feasible():
 
 
 def test_orca_planner_mode_e2e():
+    """Rotational exchange: each agent's goal is the next agent's start.
+
+    The antipodal circle swap is ORCA's known pathological case (symmetric
+    reciprocal standstill -- the failure mode the LSC paper targets, and
+    why the reference carries commented-out symmetry-breaking noise);
+    rotational flows are the scenario ORCA handles well.
+    """
     mission = make_circle_mission(6, radius=3.0,
                                   world=(-5, -5, 0, 5, 5, 2.5))
+    starts = [a.start for a in mission.agents]
+    for qi, a in enumerate(mission.agents):
+        a.goal = starts[(qi + 2) % 6].copy()
     p = Param(planner_mode=PlannerMode.ORCA, goal_mode=GoalMode.STATIC)
     from lsc_planner_tpu.sim.simulator import SyncSimulator
     sim = SyncSimulator(mission, p, dtype=jnp.float64)
