@@ -195,7 +195,13 @@ class SyncSimulator:
                                                     self.n, p.dt)
             use_shift = (seq >= 1)[..., None, None, None]
             return jnp.where(use_shift, shifted, const_vel)
-        if mode in (PredictionMode.VELOCITY, InitialTrajMode.VELOCITY):
+        if mode in (PredictionMode.VELOCITY, InitialTrajMode.VELOCITY,
+                    PredictionMode.ORACLE,
+                    PredictionMode.LINEAR_KALMAN_FILTER):
+            # oracle / KF refine *dynamic-obstacle* predictions (handled on
+            # the host in run()); agent obstacles use constant velocity
+            # exactly like the reference's agent branches
+            # (traj_planner.cpp:741-749)
             return pred.constant_velocity_traj(pos, vel, self.M, self.n,
                                                p.dt)
         if mode in (PredictionMode.POSITION, InitialTrajMode.POSITION):
@@ -221,7 +227,8 @@ class SyncSimulator:
                    obs_prev_global, self_mask,
                    radius, downwash, nominal_velocity, max_vel, max_acc,
                    desired_goal, sfc_prev=None, sfc_initialize=None,
-                   sfc_seed=None, y_warm=None, dyn_pos=None, dyn_vel=None):
+                   sfc_seed=None, y_warm=None, dyn_pos=None, dyn_vel=None,
+                   dyn_pred=None):
         """Plan one block of agents (L, ...) against the global obstacle
         view (N_total, ...).  Returns (QPResult, current_goal, sfc)."""
         p = self.param
@@ -263,11 +270,13 @@ class SyncSimulator:
                                            (L, O))
 
         # --- append mission dynamic obstacles (constant-velocity
-        #     prediction for non-agents, traj_planner.cpp:838-847) ---
+        #     prediction for non-agents, traj_planner.cpp:838-847;
+        #     oracle mode passes the exact fitted prediction) ---
         if self.O_dyn and dyn_pos is not None:
             Od = self.O_dyn
-            dyn_pred = pred.constant_velocity_traj(dyn_pos, dyn_vel, M, n,
-                                                   p.dt)
+            if dyn_pred is None:
+                dyn_pred = pred.constant_velocity_traj(dyn_pos, dyn_vel,
+                                                       M, n, p.dt)
             obs_pred = jnp.concatenate(
                 [obs_pred, jnp.broadcast_to(dyn_pred[None],
                                             (L, Od, M, n + 1, 3))], axis=1)
@@ -351,8 +360,8 @@ class SyncSimulator:
         return new_start, new_goal
 
     # ------------------------------------------------------------------
-    def _cycle(self, state: SwarmState, dyn_pos=None, dyn_vel=None
-               ) -> tuple:
+    def _cycle(self, state: SwarmState, dyn_pos=None, dyn_vel=None,
+               dyn_pred=None) -> tuple:
         """One synchronous planning cycle for all agents (single device)."""
         p = self.param
         N = self.N
@@ -387,7 +396,8 @@ class SyncSimulator:
             max_vel=self.max_vel, max_acc=self.max_acc,
             desired_goal=desired_goal,
             sfc_prev=state.sfc, sfc_initialize=sfc_initialize,
-            sfc_seed=sfc_seed, dyn_pos=dyn_pos, dyn_vel=dyn_vel)
+            sfc_seed=sfc_seed, dyn_pos=dyn_pos, dyn_vel=dyn_vel,
+            dyn_pred=dyn_pred)
 
         # safety audit + metrics over the upcoming time step
         # (savePlanningResult, multi_sync_simulator.cpp:446-503)
@@ -463,6 +473,32 @@ class SyncSimulator:
                          primal_res=zeros)
         return new_state, info
 
+    def _oracle_prediction(self, t_sim: float) -> np.ndarray:
+        """Perfect dynamic-obstacle prediction: sample the true analytic
+        model over the horizon and fit Bernstein control points per segment
+        (obstaclePredictionWithOracle, traj_planner.cpp:715-751).
+        Returns (O_dyn, M, n+1, 3)."""
+        from .obstacles import ChasingObstacle
+        p = self.param
+        M, n = self.M, self.n
+        basis = np.zeros((n + 1, n + 1))
+        for r, t in enumerate(np.linspace(0.0, 1.0, n + 1)):
+            for i in range(n + 1):
+                basis[r, i] = bz.nchoosek(n, i) * t ** i * \
+                    (1 - t) ** (n - i)
+        basis_inv = np.linalg.inv(basis)
+        out = np.zeros((self.O_dyn, M, n + 1, 3))
+        for oi, model in enumerate(self.obstacle_generator.models):
+            if isinstance(model, ChasingObstacle):
+                raise ValueError("oracle does not support chasing "
+                                 "obstacles (traj_planner.cpp:719-721)")
+            for m in range(M):
+                targets = np.stack([
+                    model.state(t_sim + (m + i / n) * p.dt)[0]
+                    for i in range(n + 1)])
+                out[oi, m] = basis_inv @ targets
+        return out
+
     # ------------------------------------------------------------------
     def profile_stages(self, state: SwarmState, n_cycles: int = 5) -> dict:
         """Per-stage device timing with the reference's stage taxonomy
@@ -483,7 +519,17 @@ class SyncSimulator:
                                  downwash=self.downwash,
                                  prev_traj=st.traj))
 
-        def lsc_stage(init, prediction):
+        K = p.max_neighbors
+
+        def lsc_stage(init, prediction, pos):
+            if 0 < K < N:
+                d2 = jnp.sum((pos[None] - pos[:, None]) ** 2, axis=-1)
+                d2 = jnp.where(jnp.eye(N, dtype=bool), jnp.inf, d2)
+                _, nbr = jax.lax.top_k(-d2, K)
+                return cons.lsc_planes(
+                    init, prediction[nbr], self.radius, self.downwash,
+                    self.radius[nbr], self.downwash[nbr],
+                    jnp.ones((N, K), bool), jnp.ones((N, K), bool))
             obs_pred = jnp.broadcast_to(prediction[None],
                                         (N, N, self.M, self.n + 1, 3))
             return cons.lsc_planes(
@@ -511,7 +557,7 @@ class SyncSimulator:
         times["initial_traj"] = 0.0   # shared with prediction in LSC mode
         pos, vel, acc = self.propagate(state)
         timeit("goal_planning", stage_goal, pos, vel, init, state)
-        planes = timeit("lsc_generation", stage_lsc, init, prediction)
+        planes = timeit("lsc_generation", stage_lsc, init, prediction, pos)
         if self.corridor is not None:
             from ..world.corridor import update_sfc
             stage_sfc = jax.jit(lambda sfc, seed, goal, flag: update_sfc(
@@ -605,9 +651,26 @@ class SyncSimulator:
                         d = np.linalg.norm(host_pos - m.pos, axis=-1)
                         m.set_goal_point(host_pos[int(np.argmin(d))])
                 dp, dv = self.obstacle_generator.update(t_sim)
+                from ..config import PredictionMode as PM
+                if p.prediction_mode == PM.LINEAR_KALMAN_FILTER:
+                    # noisy observation -> filtered state
+                    # (obstaclePredictionWithLinearKalmanFilter,
+                    # traj_planner.cpp:641-695)
+                    if not hasattr(self, "_kf"):
+                        from .kalman import LinearKalmanFilter
+                        self._kf = LinearKalmanFilter(
+                            self.O_dyn, p.filter_sigma_y_sq,
+                            p.filter_sigma_v_sq, p.filter_sigma_a_sq)
+                    obs = self.obstacle_generator.observed()
+                    dp, dv = self._kf.filter(obs, t_sim)
                 dyn_pos = jnp.asarray(dp, self.dtype)
                 dyn_vel = jnp.asarray(dv, self.dtype)
-                state, info = cycle(state, dyn_pos, dyn_vel)
+                if p.prediction_mode == PM.ORACLE:
+                    dyn_pred = jnp.asarray(
+                        self._oracle_prediction(t_sim), self.dtype)
+                    state, info = cycle(state, dyn_pos, dyn_vel, dyn_pred)
+                else:
+                    state, info = cycle(state, dyn_pos, dyn_vel)
             else:
                 state, info = cycle(state)
             state.traj.block_until_ready()

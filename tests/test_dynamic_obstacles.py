@@ -1,0 +1,59 @@
+"""End-to-end with mission dynamic obstacles + prediction modes."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsc_planner_tpu.config import Param, GoalMode, PredictionMode
+from lsc_planner_tpu.missions import Mission, AgentSpec, ObstacleSpec
+from lsc_planner_tpu.sim.simulator import SyncSimulator
+
+
+def obstacle_mission():
+    agents = []
+    for qi, (s, g) in enumerate([((-3.0, 0.5, 1.0), (3.0, 0.5, 1.0)),
+                                 ((3.0, -0.5, 1.0), (-3.0, -0.5, 1.0))]):
+        a = AgentSpec(id=qi, cid=qi + 1)
+        a.start, a.goal = np.asarray(s), np.asarray(g)
+        agents.append(a)
+    obstacles = [
+        ObstacleSpec(kind="spin", size=0.3, max_acc=2.0, downwash=1.0,
+                     axis_position=np.array([0.0, 2.0, 1.0]),
+                     axis_ori=np.array([0.0, 0.0, 1.0]),
+                     start=np.array([0.0, 3.0, 1.0]), speed=0.5),
+        ObstacleSpec(kind="straight", size=0.25, max_acc=1.0, downwash=1.0,
+                     start=np.array([0.0, -3.0, 1.0]),
+                     goal=np.array([0.0, 3.0, 1.0]), speed=0.2),
+    ]
+    return Mission(world_min=np.array([-5.0, -5, 0]),
+                   world_max=np.array([5.0, 5, 2.5]),
+                   agents=agents, obstacles=obstacles,
+                   mission_file_name="dyn2")
+
+
+@pytest.mark.parametrize("pmode", [PredictionMode.PREVIOUS_SOLUTION,
+                                   PredictionMode.ORACLE,
+                                   PredictionMode.LINEAR_KALMAN_FILTER])
+def test_agents_avoid_dynamic_obstacles(pmode):
+    p = Param(goal_mode=GoalMode.STATIC, qp_iterations=12)
+    # prediction-mode overrides (LSC forces prev-solution in validated();
+    # emulate the reference's RSFC-era configs by setting after validation)
+    sim = SyncSimulator(obstacle_mission(), p, dtype=jnp.float64)
+    if pmode != PredictionMode.PREVIOUS_SOLUTION:
+        sim.param.prediction_mode = pmode
+    summary = sim.run(max_iterations=250)
+    assert summary["iterations"] < 250
+    assert summary["safety_ratio_agent"] >= 1.0
+    # obstacle avoidance: constant-velocity prediction of a curving
+    # obstacle carries model error; require near-safety
+    assert summary["safety_ratio_obs"] > 0.85, summary["safety_ratio_obs"]
+
+
+def test_obstacle_safety_improves_with_oracle():
+    p = Param(goal_mode=GoalMode.STATIC, qp_iterations=12)
+    sims = {}
+    for name, pmode in [("prev", PredictionMode.PREVIOUS_SOLUTION),
+                        ("oracle", PredictionMode.ORACLE)]:
+        sim = SyncSimulator(obstacle_mission(), p, dtype=jnp.float64)
+        sim.param.prediction_mode = pmode
+        sims[name] = sim.run(max_iterations=250)["safety_ratio_obs"]
+    assert sims["oracle"] >= sims["prev"] - 0.05
