@@ -56,29 +56,81 @@ def _solve_subsets(points, subs, feas_tol: float = 1e-7):
     points: (..., K, 3); subs: (S, k) static indices.
     Returns (cand (..., S, 3), d2 (..., S), feasible (..., S)).
 
-    Uses the unrolled PSD Schur solve (ops/smallsolve.py) rather than
-    jnp.linalg.solve: the tiny batched LU custom call pads (k+1, k+1)
-    blocks to (8, 128) TPU tiles (~40x memory blowup) and dominates both
-    latency and HBM at swarm scale.
+    The math is fully scalarized over the tiny k x k systems: every G
+    entry, Cholesky element, and substitution step is an elementwise op on
+    a FLAT (batch*S,) vector.  This keeps the VPU lanes fully occupied --
+    matrix layouts of shape (..., k, k) with k <= 5 pad the 128-wide lane
+    dimension ~30x, and the batched LU custom call is worse still (~40x
+    memory blowup); both dominated the swarm-scale profile.
     """
-    from .smallsolve import min_norm_weights
-
     S, k = subs.shape
-    Ps = points[..., subs, :]                       # (..., S, k, 3)
-    G = jnp.einsum("...sid,...sjd->...sij", Ps, Ps)
+    batch_shape = points.shape[:-2]
+    flat = int(np.prod(batch_shape)) * S if batch_shape else S
+
+    # per-(subset-slot, dim) flat component vectors
+    comp = []                                        # comp[j][d]: (flat,)
+    pts_d = [points[..., d] for d in range(3)]       # (..., K) each
+    for j in range(k):
+        idx = jnp.asarray(subs[:, j])
+        comp.append([pts_d[d][..., idx].reshape(-1) for d in range(3)])
+
+    # Gram entries (upper triangle)
+    G = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i, k):
+            G[i][j] = sum(comp[i][d] * comp[j][d] for d in range(3))
+            G[j][i] = G[i][j]
     # relative ridge keeps degenerate (affinely dependent) subsets finite;
     # they are then dominated by a non-degenerate subset.
-    scale = jnp.einsum("...sii->...s", G) / k        # mean diagonal
-    ridge = (1e-7 * scale + 1e-30)[..., None, None] * \
-        jnp.eye(k, dtype=G.dtype)
-    lam = min_norm_weights(G + ridge)
-    feasible = jnp.all(lam > -feas_tol, axis=-1) & \
-        jnp.all(jnp.isfinite(lam), axis=-1)
-    lam = jnp.clip(lam, 0.0, None)
-    lam = lam / jnp.maximum(jnp.sum(lam, axis=-1, keepdims=True), 1e-12)
-    cand = jnp.einsum("...sk,...skd->...sd", lam, Ps)
-    d2 = jnp.sum(cand * cand, axis=-1)
-    return cand, d2, feasible
+    scale = sum(G[i][i] for i in range(k)) / k
+    ridge = 1e-7 * scale + 1e-30
+    for i in range(k):
+        G[i][i] = G[i][i] + ridge
+
+    # unrolled scalar Cholesky
+    L = [[None] * k for _ in range(k)]
+    for j in range(k):
+        s_ = G[j][j]
+        for p_ in range(j):
+            s_ = s_ - L[j][p_] * L[j][p_]
+        diag = jnp.sqrt(jnp.maximum(s_, 1e-30))
+        L[j][j] = diag
+        inv = 1.0 / diag
+        for i in range(j + 1, k):
+            s2 = G[i][j]
+            for p_ in range(j):
+                s2 = s2 - L[i][p_] * L[j][p_]
+            L[i][j] = s2 * inv
+
+    # solve G w = 1 (forward/backward substitution), lam = w / sum(w)
+    y = [None] * k
+    for i in range(k):
+        s_ = jnp.ones_like(scale)
+        for p_ in range(i):
+            s_ = s_ - L[i][p_] * y[p_]
+        y[i] = s_ / L[i][i]
+    w = [None] * k
+    for i in reversed(range(k)):
+        s_ = y[i]
+        for p_ in range(i + 1, k):
+            s_ = s_ - L[p_][i] * w[p_]
+        w[i] = s_ / L[i][i]
+    denom = sum(w)
+    lam = [w[i] / denom for i in range(k)]
+
+    feasible = jnp.ones_like(scale, dtype=bool)
+    for i in range(k):
+        feasible = feasible & (lam[i] > -feas_tol) & jnp.isfinite(lam[i])
+    lam = [jnp.clip(l, 0.0, None) for l in lam]
+    lam_sum = jnp.maximum(sum(lam), 1e-12)
+    lam = [l / lam_sum for l in lam]
+
+    cand_d = [sum(lam[j] * comp[j][d] for j in range(k)) for d in range(3)]
+    d2 = sum(c * c for c in cand_d)
+
+    out_shape = batch_shape + (S,)
+    cand = jnp.stack([c.reshape(out_shape) for c in cand_d], axis=-1)
+    return cand, d2.reshape(out_shape), feasible.reshape(out_shape)
 
 
 def closest_point_to_hull(points, iters: int = 0, max_support: int = 4):

@@ -151,14 +151,29 @@ class SyncSimulator:
     # ------------------------------------------------------------------
     def propagate(self, state: SwarmState):
         """Ideal flat-output rollout of the previous solutions by one time
-        step (update(), multi_sync_simulator.cpp:190-246)."""
+        step (update(), multi_sync_simulator.cpp:190-246).
+
+        With time_step == dt (the LSC requirement) the rollout lands
+        exactly on the segment-1 boundary, whose position/velocity/
+        acceleration are closed-form differences of the first control
+        points of segment 1 -- three gathers instead of a full polynomial
+        evaluation."""
         p = self.param
         is_first = state.seq == 0
-        rolled = jax.vmap(lambda tr: bz.traj_state(
-            tr, p.multisim_time_step, p.dt))(state.traj)
-        pos = jnp.where(is_first, state.pos, rolled["pos"])
-        vel = jnp.where(is_first, state.vel, rolled["vel"])
-        acc = jnp.where(is_first, state.acc, rolled["acc"])
+        n = self.n
+        if abs(p.multisim_time_step - p.dt) < 1e-9 and self.M > 1:
+            seg = state.traj[:, 1]                   # (N, n+1, 3)
+            rpos = seg[:, 0]
+            rvel = (seg[:, 1] - seg[:, 0]) * (n / p.dt)
+            racc = (seg[:, 2] - 2 * seg[:, 1] + seg[:, 0]) * \
+                (n * (n - 1) / p.dt ** 2)
+        else:
+            rolled = jax.vmap(lambda tr: bz.traj_state(
+                tr, p.multisim_time_step, p.dt))(state.traj)
+            rpos, rvel, racc = rolled["pos"], rolled["vel"], rolled["acc"]
+        pos = jnp.where(is_first, state.pos, rpos)
+        vel = jnp.where(is_first, state.vel, rvel)
+        acc = jnp.where(is_first, state.acc, racc)
         return pos, vel, acc
 
     def orca_velocities(self, pos, vel, current_goal):
