@@ -110,11 +110,12 @@ def _solve_qp_impl(P, q, A, b, mask, y0, iters, reg, s_min, equilibrate):
     lam0 = jnp.ones_like(s0)
     eye = jnp.eye(nv, dtype=dtype)
 
-    def kkt_solve(Hinv, A, lam, s, r_d, r_p, r_c):
-        # (P + A'DA) dy = -r_d - A' [ (r_c + lam*r_p) / s ]
+    def kkt_solve(L, dsc, A, lam, s, r_d, r_p, r_c):
+        # (P + A'DA) dy = -r_d - A' [ (r_c + lam*r_p) / s ],
+        # solved through the Jacobi-equilibrated Cholesky factor
         rhs = -r_d - jnp.einsum("...rv,...r->...v", A,
                                 (r_c + lam * r_p) / s)
-        dy = jnp.einsum("...vw,...w->...v", Hinv, rhs)
+        dy = dsc * _chol_solve(L, dsc * rhs)
         ds = jnp.einsum("...rv,...v->...r", A, dy) + r_p
         dlam = -(r_c + lam * ds) / s
         return dy, ds, dlam
@@ -141,12 +142,17 @@ def _solve_qp_impl(P, q, A, b, mask, y0, iters, reg, s_min, equilibrate):
         diag_mean = jnp.einsum("...vv->...", H) / nv
         ridge = reg * jnp.maximum(diag_mean, 1.0)
         H = H + ridge[..., None, None] * eye
-        L = jnp.linalg.cholesky(H)
-        Hinv = _chol_inverse(L)
+        # Jacobi equilibration before factorizing: f32 Cholesky at the
+        # jerk-Gram's ~1e4 scale with interior-point D spreads loses
+        # accuracy without it
+        dsc = jax.lax.rsqrt(jnp.einsum("...vv->...v", H))
+        Hs = H * dsc[..., :, None] * dsc[..., None, :]
+        L = jnp.linalg.cholesky(Hs)
 
         # predictor (affine scaling)
         r_c_aff = s * lam
-        dy_a, ds_a, dlam_a = kkt_solve(Hinv, A, lam, s, r_d, r_p, r_c_aff)
+        dy_a, ds_a, dlam_a = kkt_solve(L, dsc, A, lam, s, r_d, r_p,
+                                       r_c_aff)
         a_p = step_len(s, ds_a)
         a_d = step_len(lam, dlam_a)
         mu_aff = jnp.mean((s + a_p[..., None] * ds_a) *
@@ -155,7 +161,7 @@ def _solve_qp_impl(P, q, A, b, mask, y0, iters, reg, s_min, equilibrate):
 
         # corrector
         r_c = s * lam + ds_a * dlam_a - (sigma * mu)[..., None]
-        dy, ds, dlam = kkt_solve(Hinv, A, lam, s, r_d, r_p, r_c)
+        dy, ds, dlam = kkt_solve(L, dsc, A, lam, s, r_d, r_p, r_c)
         a_p = step_len(s, ds)
         a_d = step_len(lam, dlam)
         y_n = y + a_p[..., None] * dy
