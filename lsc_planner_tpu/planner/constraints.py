@@ -166,6 +166,119 @@ def sfc_planes(boxes, active) -> PlaneConstraints:
         mask=mask)
 
 
+def box_pair_planes(hull_points, box1_min, box1_max, box2_min, box2_max,
+                    eps=1e-6):
+    """Extra LSC planes for a two-box SFC transition (SFC::update,
+    collision_constraints.cpp:232-331): for every edge of the box
+    intersection that lies on both boxes' boundaries but not on the
+    union's, add a half-space separating the control-point hull from the
+    incut corner.  Host-side numpy (the reference keeps this in its
+    container API; the LSC-mode planner path never calls it).
+
+    Returns (points (E, 3), normals (E, 3)) defining planes
+    {x : n . (x - p) >= 0}, or empty arrays when the transition is
+    invalid (boxes disjoint / hull escaping both boxes).
+    """
+    import numpy as onp
+    hull_points = onp.asarray(hull_points, float)
+    b1 = (onp.asarray(box1_min, float), onp.asarray(box1_max, float))
+    b2 = (onp.asarray(box2_min, float), onp.asarray(box2_max, float))
+    inter_min = onp.maximum(b1[0], b2[0])
+    inter_max = onp.minimum(b1[1], b2[1])
+    uni_min = onp.minimum(b1[0], b2[0])
+    uni_max = onp.maximum(b1[1], b2[1])
+    if onp.any(inter_min > inter_max - eps):
+        return onp.zeros((0, 3)), onp.zeros((0, 3))
+
+    def in_box(p, lo, hi):
+        return bool(onp.all(p > lo - eps) and onp.all(p < hi + eps))
+
+    for pt in hull_points:
+        if not (in_box(pt, *b1) or in_box(pt, *b2)):
+            return onp.zeros((0, 3)), onp.zeros((0, 3))
+
+    def box_edges(lo, hi):
+        edges = []
+        for ax in range(3):
+            o1, o2 = (ax + 1) % 3, (ax + 2) % 3
+            for a in (lo[o1], hi[o1]):
+                for b in (lo[o2], hi[o2]):
+                    s = onp.zeros(3); e = onp.zeros(3)
+                    s[ax], e[ax] = lo[ax], hi[ax]
+                    s[o1] = e[o1] = a
+                    s[o2] = e[o2] = b
+                    edges.append((s, e))
+        return edges
+
+    def on_boundary(s, e, lo, hi):
+        # line segment lies on a face plane of [lo, hi] and within it
+        for p in (s, e):
+            if not in_box(p, lo, hi):
+                return False
+        for ax in range(3):
+            if abs(s[ax] - e[ax]) < eps and (
+                    abs(s[ax] - lo[ax]) < eps or abs(s[ax] - hi[ax]) < eps):
+                return True
+        return False
+
+    verts = []
+    for ix in (inter_min[0], inter_max[0]):
+        for iy in (inter_min[1], inter_max[1]):
+            for iz in (inter_min[2], inter_max[2]):
+                verts.append(onp.asarray([ix, iy, iz]))
+
+    pts_out, nrm_out = [], []
+    for (s, e) in box_edges(inter_min, inter_max):
+        if not (on_boundary(s, e, *b1) and on_boundary(s, e, *b2)):
+            continue
+        if on_boundary(s, e, uni_min, uni_max):
+            continue
+        d = e - s
+        dn = d / max(onp.linalg.norm(d), eps)
+        proj = []
+        for pt in hull_points:
+            r = pt - s
+            proj.append(r - dn * dn.dot(r))
+        for v in verts:
+            if onp.linalg.norm(s - v) < eps or onp.linalg.norm(e - v) < eps:
+                continue
+            r = v - s
+            proj.append(r - dn * dn.dot(r))
+        proj = onp.stack(proj)
+        import jax.numpy as jnp_
+        closest, dist = hull_ops.closest_point_to_hull(
+            jnp_.asarray(proj[None]))
+        closest = onp.asarray(closest)[0]
+        dist = float(dist[0])
+        if dist > eps:
+            normal = closest / dist
+        else:
+            # degenerate: pick a supporting direction from the projected
+            # set (collision_constraints.cpp:290-327)
+            normal = None
+            for pr in proj:
+                if onp.linalg.norm(pr) < eps:
+                    continue
+                cand = onp.cross(pr, dn)
+                nc = onp.linalg.norm(cand)
+                if nc < eps:
+                    continue
+                cand = cand / nc
+                for sign in (1.0, -1.0):
+                    if onp.all(proj.dot(sign * cand) > -eps):
+                        normal = sign * cand
+                        break
+                if normal is not None:
+                    break
+            if normal is None:
+                return onp.zeros((0, 3)), onp.zeros((0, 3))
+        pts_out.append(s)
+        nrm_out.append(normal)
+    if not pts_out:
+        return onp.zeros((0, 3)), onp.zeros((0, 3))
+    return onp.stack(pts_out), onp.stack(nrm_out)
+
+
 def concat_planes(*plane_sets, n_ctrl: int) -> PlaneConstraints:
     """Concatenate plane sets along the constraint axis, broadcasting rhs to
     (N, C, M, n_ctrl)."""

@@ -149,3 +149,30 @@ def test_forest_e2e():
     # sampled clearance during flight must exceed the radius
     state = summary["final_state"]
     assert float(state.primal_res.max()) < 1e-5
+
+
+def test_box_pair_planes():
+    """Two overlapping boxes forming an L: the incut edge of the
+    intersection must produce a separating plane that keeps the hull
+    points in the union (SFC::update analog)."""
+    from lsc_planner_tpu.planner.constraints import box_pair_planes
+    # box1: [0,2]x[0,1]x[0,1]; box2: [1,3]x[0,2]x[0,1] -> L-shape in xy
+    hull = np.array([[0.5, 0.5, 0.5], [1.5, 0.5, 0.5], [1.5, 1.5, 0.5]])
+    pts, nrms = box_pair_planes(hull, [0, 0, 0], [2, 1, 1],
+                                [1, 0, 0], [3, 2, 1])
+    assert len(pts) >= 1
+    # every returned plane keeps the hull on its nonnegative side
+    for p, n in zip(pts, nrms):
+        margins = (hull - p) @ n
+        assert margins.min() > -1e-6
+    # a point inside the incut corner region (x<1, y>1) must be cut off
+    bad = np.array([0.2, 1.8, 0.5])
+    assert any((bad - p) @ n < -1e-6 for p, n in zip(pts, nrms))
+
+
+def test_box_pair_planes_disjoint():
+    from lsc_planner_tpu.planner.constraints import box_pair_planes
+    hull = np.array([[0.5, 0.5, 0.5]])
+    pts, nrms = box_pair_planes(hull, [0, 0, 0], [1, 1, 1],
+                                [2, 2, 2], [3, 3, 3])
+    assert len(pts) == 0
