@@ -46,7 +46,7 @@ def state_specs() -> SwarmState:
                       primal_res=sharded, safety_agent_min=rep,
                       distance=rep, sfc=sharded, sfc_initialized=sharded,
                       start=sharded, desired_goal=sharded,
-                      safety_obs_min=rep)
+                      safety_obs_min=rep, stall_count=sharded)
 
 
 def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
@@ -68,6 +68,11 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
         my_ids = shard * L + jnp.arange(L)
 
         pos_l, vel_l, acc_l = sim.propagate(state)
+        stalled = ((jnp.linalg.norm(vel_l, axis=-1)
+                    < p.deadlock_velocity_threshold) &
+                   (jnp.linalg.norm(pos_l - state.desired_goal, axis=-1)
+                    > p.goal_threshold) & (state.seq > 0))
+        stall_count = jnp.where(stalled, state.stall_count + 1, 0)
         init_l, pred_l = sim.predict_and_init(state.traj, pos_l, vel_l,
                                               state.seq)
 
@@ -94,7 +99,7 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
             max_vel=sim.max_vel[my_ids], max_acc=sim.max_acc[my_ids],
             desired_goal=state.desired_goal,
             sfc_prev=state.sfc, sfc_initialize=sfc_initialize,
-            sfc_seed=sfc_seed)
+            sfc_seed=sfc_seed, stall_count=stall_count)
 
         # --- audit on gathered sampled positions (replicated scalar) ---
         ts = audit._sample_times(p.multisim_record_time_step,
@@ -117,7 +122,8 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
             sfc=sfc if sfc is not None else state.sfc,
             sfc_initialized=jnp.ones_like(state.sfc_initialized),
             start=state.start, desired_goal=state.desired_goal,
-            safety_obs_min=state.safety_obs_min)
+            safety_obs_min=state.safety_obs_min,
+            stall_count=stall_count)
         info = CycleInfo(safety_step_min=safety_step, qp_cost=res.cost,
                          primal_res=res.primal_res)
         return new_state, info

@@ -58,6 +58,8 @@ class SwarmState(NamedTuple):
     start: jnp.ndarray         # (N, 3) mission start (patrol swaps)
     desired_goal: jnp.ndarray  # (N, 3) mission goal (patrol/services)
     safety_obs_min: jnp.ndarray    # () running min agent-obstacle ratio
+    stall_count: jnp.ndarray   # (N,) consecutive low-velocity cycles
+    # (deadlock_start_seq bookkeeping analog, traj_planner.cpp:396-409)
 
 
 class CycleInfo(NamedTuple):
@@ -146,6 +148,7 @@ class SyncSimulator:
             start=self.start,
             desired_goal=self.desired_goal,
             safety_obs_min=jnp.asarray(np.inf, dt),
+            stall_count=jnp.zeros((N,), jnp.int32),
         )
 
     # ------------------------------------------------------------------
@@ -243,7 +246,7 @@ class SyncSimulator:
                    radius, downwash, nominal_velocity, max_vel, max_acc,
                    desired_goal, sfc_prev=None, sfc_initialize=None,
                    sfc_seed=None, y_warm=None, dyn_pos=None, dyn_vel=None,
-                   dyn_pred=None):
+                   dyn_pred=None, stall_count=None):
         """Plan one block of agents (L, ...) against the global obstacle
         view (N_total, ...).  Returns (QPResult, current_goal, sfc)."""
         p = self.param
@@ -256,7 +259,8 @@ class SyncSimulator:
             seq=seq, radius=radius, downwash=downwash,
             obs_pos=obs_pos_global, obs_goal=obs_goal_global,
             obs_prev_traj=obs_prev_global, self_mask=self_mask,
-            obs_radius=self.radius, obs_downwash=self.downwash)
+            obs_radius=self.radius, obs_downwash=self.downwash,
+            stall_count=stall_count)
 
         K = p.max_neighbors
         if 0 < K < O:
@@ -388,6 +392,14 @@ class SyncSimulator:
         pos, vel, acc = self.propagate(state)
         start, desired_goal = self._patrol_swap(state, pos)
 
+        # stall bookkeeping for deadlock rescue (deadlock_start_seq
+        # analog, traj_planner.cpp:396-409)
+        stalled = ((jnp.linalg.norm(vel, axis=-1)
+                    < p.deadlock_velocity_threshold) &
+                   (jnp.linalg.norm(pos - desired_goal, axis=-1)
+                    > p.goal_threshold) & (state.seq > 0))
+        stall_count = jnp.where(stalled, state.stall_count + 1, 0)
+
         if p.planner_mode == PlannerMode.ORCA:
             return self._cycle_orca(state, pos, vel, acc, start,
                                     desired_goal, dyn_pos)
@@ -412,7 +424,7 @@ class SyncSimulator:
             desired_goal=desired_goal,
             sfc_prev=state.sfc, sfc_initialize=sfc_initialize,
             sfc_seed=sfc_seed, dyn_pos=dyn_pos, dyn_vel=dyn_vel,
-            dyn_pred=dyn_pred)
+            dyn_pred=dyn_pred, stall_count=stall_count)
 
         # safety audit + metrics over the upcoming time step
         # (savePlanningResult, multi_sync_simulator.cpp:446-503)
@@ -440,6 +452,7 @@ class SyncSimulator:
             sfc_initialized=jnp.ones_like(state.sfc_initialized),
             start=start, desired_goal=desired_goal,
             safety_obs_min=jnp.minimum(state.safety_obs_min, obs_safety),
+            stall_count=stall_count,
         )
         info = CycleInfo(safety_step_min=safety_step, qp_cost=res.cost,
                          primal_res=res.primal_res)
@@ -483,7 +496,8 @@ class SyncSimulator:
             sfc=state.sfc,
             sfc_initialized=state.sfc_initialized,
             start=start, desired_goal=desired_goal,
-            safety_obs_min=state.safety_obs_min)
+            safety_obs_min=state.safety_obs_min,
+            stall_count=state.stall_count)
         info = CycleInfo(safety_step_min=safety_step, qp_cost=zeros,
                          primal_res=zeros)
         return new_state, info
