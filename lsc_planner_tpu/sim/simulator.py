@@ -201,11 +201,32 @@ class SyncSimulator:
             time_horizon=p.orca_horizon, time_step=0.5,
             force_z_zero=(p.world_dimension == 2))
 
-    def _traj_for_mode(self, mode, traj, pos, vel, seq):
+    def _traj_for_mode(self, mode, traj, pos, vel, seq, prev_goal=None):
         """Trajectory builder shared by the prediction and initial-traj
         stages (traj_planner.cpp:610-1061)."""
         from ..config import PredictionMode, InitialTrajMode
         p = self.param
+        if mode == InitialTrajMode.GREEDY:
+            # straight toward the (previous cycle's) current goal at the
+            # nominal velocity, clamped at the ideal flight time
+            # (initialTrajPlanningGreedy, traj_planner.cpp:983-995)
+            goal = prev_goal if prev_goal is not None else pos
+            delta = goal - pos
+            dist = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+            dirn = delta / jnp.maximum(dist, 1e-9)
+            t_ideal = dist / jnp.maximum(
+                self.nominal_velocity[:, None], 1e-9)
+            m = jnp.arange(self.M, dtype=pos.dtype)[:, None]
+            i = jnp.arange(self.n + 1, dtype=pos.dtype)[None, :]
+            tau = (m + i / self.n) * p.dt                    # (M, n+1)
+            t_clamped = jnp.minimum(tau[None, :, :, None],
+                                    t_ideal[:, None, None, :])
+            return pos[:, None, None, :] + dirn[:, None, None, :] * \
+                self.nominal_velocity[:, None, None, None] * t_clamped
+        if mode == InitialTrajMode.SKIP:
+            # debugger-only mode in the reference (keep the stored initial
+            # trajectory); maps to the previous-solution shift here
+            mode = InitialTrajMode.PREVIOUS_SOLUTION
         if mode in (PredictionMode.PREVIOUS_SOLUTION,
                     InitialTrajMode.PREVIOUS_SOLUTION):
             shifted = pred.shift_previous_solution(traj)
@@ -226,7 +247,7 @@ class SyncSimulator:
             return pred.constant_position_traj(pos, self.M, self.n)
         raise NotImplementedError(mode)
 
-    def predict_and_init(self, traj, pos, vel, seq):
+    def predict_and_init(self, traj, pos, vel, seq, prev_goal=None):
         """Obstacle prediction + initial trajectory.  In LSC mode both are
         the previous-solution shift, so one tensor serves as this agent's
         initial trajectory and every other agent's prediction of it."""
@@ -237,7 +258,7 @@ class SyncSimulator:
             init = prediction
         else:
             init = self._traj_for_mode(p.initial_traj_mode, traj, pos,
-                                       vel, seq)
+                                       vel, seq, prev_goal=prev_goal)
         return init, prediction
 
     def plan_block(self, pos, vel, acc, init, seq,
@@ -405,7 +426,8 @@ class SyncSimulator:
                                     desired_goal, dyn_pos)
 
         init, prediction = self.predict_and_init(state.traj, pos, vel,
-                                                 state.seq)
+                                                 state.seq,
+                                                 prev_goal=state.current_goal)
 
         # SFC seed: the previous solution endpoint, or the current position
         # on (re-)initialization (traj_planner.cpp:1454-1473)

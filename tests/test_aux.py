@@ -141,3 +141,41 @@ def test_cli_generate_and_run(tmp_path):
                    "--dtype", "float64",
                    "--set", "qp_iterations=8"])
     assert rc is None or rc == 0
+
+
+def test_visualize_run(tmp_path):
+    from lsc_planner_tpu.sim.simulator import SyncSimulator
+    from lsc_planner_tpu.sim.logging import ResultLogger
+    from lsc_planner_tpu.sim.replay import read_result_csv
+    from lsc_planner_tpu.sim.visualize import plot_run, save_normal_vector_csv
+    mission = make_circle_mission(3, radius=2.0,
+                                  world=(-4, -4, 0, 4, 4, 2.5))
+    p = Param(qp_iterations=10)
+    sim = SyncSimulator(mission, p, dtype=jnp.float64)
+    log = ResultLogger(str(tmp_path), sim.param, mission.qn)
+    sim.run(max_iterations=40, log=log)
+    data = read_result_csv(log.path)
+    out = plot_run(data, str(tmp_path / "run.png"),
+                   world_min=mission.world_min, world_max=mission.world_max,
+                   max_vel=1.0, max_acc=2.0)
+    assert os.path.getsize(out) > 10000
+    # normal-vector research CSV
+    nrm = [np.zeros((3, 3, 3)) for _ in range(2)]
+    path = save_normal_vector_csv(str(tmp_path / "normals.csv"),
+                                  [0, 1], nrm, 3)
+    lines = open(path).read().strip().splitlines()
+    assert lines[0] == "t,(0-1),(0-2),(1-2)"
+    assert len(lines) == 3
+
+
+def test_greedy_initial_mode():
+    from lsc_planner_tpu.config import InitialTrajMode, PlannerMode
+    from lsc_planner_tpu.sim.simulator import SyncSimulator
+    mission = make_circle_mission(3, radius=2.0,
+                                  world=(-4, -4, 0, 4, 4, 2.5))
+    p = Param(planner_mode=PlannerMode.RECIPROCAL_RSFC,
+              qp_iterations=12)
+    sim = SyncSimulator(mission, p, dtype=jnp.float64)
+    sim.param.initial_traj_mode = InitialTrajMode.GREEDY
+    summary = sim.run(max_iterations=250)
+    assert summary["iterations"] < 250
