@@ -284,8 +284,17 @@ class GridPlanner:
         goal = jax.vmap(self.to_cell)(desired_goal)
         start = jax.vmap(self.recover_start)(occ_hp, start)
 
-        D_hp = jax.vmap(self.wavefront)(occ_hp, goal)
-        D_st = jax.vmap(self.wavefront)(occ_st, goal)
+        if jax.default_backend() == "tpu":
+            # VMEM-resident Pallas relaxation: one HBM read/write per
+            # agent instead of per-iteration stencil round trips
+            from .wavefront_pallas import wavefront_distance
+            D_hp = wavefront_distance(occ_hp, goal,
+                                      max_iters=self.max_wavefront_iters)
+            D_st = wavefront_distance(occ_st, goal,
+                                      max_iters=self.max_wavefront_iters)
+        else:
+            D_hp = jax.vmap(self.wavefront)(occ_hp, goal)
+            D_st = jax.vmap(self.wavefront)(occ_st, goal)
         reachable = jax.vmap(
             lambda D, c: D[c[0], c[1], c[2]] < jnp.inf)(D_hp, start)
         D = jnp.where(reachable[:, None, None, None], D_hp, D_st)

@@ -176,3 +176,27 @@ def test_box_pair_planes_disjoint():
     pts, nrms = box_pair_planes(hull, [0, 0, 0], [1, 1, 1],
                                 [2, 2, 2], [3, 3, 3])
     assert len(pts) == 0
+
+
+def test_pallas_wavefront_matches_xla(rng):
+    """The VMEM-resident Pallas wavefront (interpret mode on CPU) must
+    reproduce the XLA stencil distances exactly."""
+    from lsc_planner_tpu.ops.wavefront_pallas import wavefront_distance
+    from lsc_planner_tpu.ops.grid_search import GridPlanner
+    from lsc_planner_tpu.missions import make_circle_mission
+    occ = rng.random((2, 21, 21, 5)) < 0.25
+    goals = np.array([[20, 20, 4], [3, 17, 1]], np.int32)
+    for i in range(2):
+        occ[i, goals[i, 0], goals[i, 1], goals[i, 2]] = False
+    D_p = np.asarray(wavefront_distance(jnp.asarray(occ),
+                                        jnp.asarray(goals),
+                                        interpret=True))
+    mission = make_circle_mission(2, radius=1.0,
+                                  world=(0, 0, 0, 5.0, 5.0, 1.0))
+    gp = GridPlanner(mission, Param(grid_resolution=0.25), esdf=None)
+    D_x = np.stack([np.asarray(gp.wavefront(jnp.asarray(occ[i]),
+                                            jnp.asarray(goals[i])))
+                    for i in range(2)])
+    a = np.where(np.isinf(D_p), 1e9, np.minimum(D_p, 1e9))
+    b = np.where(np.isinf(D_x), 1e9, np.minimum(D_x, 1e9))
+    np.testing.assert_allclose(a, b)
