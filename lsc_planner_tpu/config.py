@@ -11,7 +11,6 @@ from __future__ import annotations
 import dataclasses
 import enum
 import json
-import math
 from typing import Optional
 
 SP_EPSILON = 1e-9

@@ -24,7 +24,7 @@ final iterate; callers report argmax rows.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

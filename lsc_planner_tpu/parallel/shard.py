@@ -13,7 +13,6 @@ Scalar audit metrics are computed on gathered positions (replicated).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

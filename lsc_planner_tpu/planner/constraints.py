@@ -10,8 +10,6 @@ by the QP assembly.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
-
 import jax.numpy as jnp
 
 from ..ops import geometry as geo

@@ -11,8 +11,6 @@ LOS/goal-radius clamp are pure vectorized tensor logic; the grid search
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

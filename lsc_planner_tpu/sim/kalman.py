@@ -7,8 +7,6 @@ inflate obstacle sizes.  Batched over the obstacle axis.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 
 

@@ -25,16 +25,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import (Param, PlannerMode, GoalMode, PlannerState, SP_EPSILON,
-                      SP_EPSILON_FLOAT)
+from ..config import Param, PlannerMode, GoalMode, SP_EPSILON
 from ..missions import Mission
 from ..ops import bernstein as bz
-from ..ops import geometry as geo
 from . import audit
 from ..planner import constraints as cons
 from ..planner import prediction as pred
 from ..planner import goal as goal_mod
-from ..planner.optimizer import TrajOptimizer, PlaneConstraints
+from ..planner.optimizer import TrajOptimizer
 
 
 class SwarmState(NamedTuple):

@@ -10,8 +10,6 @@ its boxes in one vmap.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
