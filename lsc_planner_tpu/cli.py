@@ -37,6 +37,9 @@ def build_parser():
     ap.add_argument("--out", default="mission.json")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float64"])
+    ap.add_argument("--platform", default="",
+                    help="force a jax platform (cpu/tpu); overrides host "
+                         "site configuration, unlike JAX_PLATFORMS")
     ap.add_argument("--set", action="append", default=[],
                     help="param override key=value (repeatable)")
     return ap
@@ -91,6 +94,10 @@ def run_one(mission_path: str, args, param) -> dict:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     if args.generate:
         from .missions import (make_circle_mission, make_square_mission,

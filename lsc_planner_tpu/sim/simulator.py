@@ -98,6 +98,21 @@ class SyncSimulator:
         self.world_max = jnp.asarray(self.mission.world_max, dt)
         self.corridor = None
         if self.esdf is not None:
+            # mission/world compatibility gate: a start or goal inside the
+            # static world makes the SFC seed infeasible (the reference
+            # throws from expandBoxFromPoint, corridor_constructor.hpp:35-38;
+            # without this gate the run silently degrades into collisions)
+            s_clear = np.asarray(self.esdf.at_points(self.start))
+            g_clear = np.asarray(self.esdf.at_points(self.desired_goal))
+            r = np.asarray(self.radius)
+            bad = [(qi, float(s_clear[qi]), float(g_clear[qi]))
+                   for qi in range(self.N)
+                   if s_clear[qi] < r[qi] or g_clear[qi] < r[qi]]
+            if bad:
+                raise ValueError(
+                    "mission incompatible with world: start/goal inside or "
+                    f"too close to static obstacles for agents {bad} "
+                    "(agent, start clearance, goal clearance)")
             from ..world.corridor import CorridorBuilder
             self.corridor = CorridorBuilder(
                 self.esdf, self.mission.world_min, self.mission.world_max,
