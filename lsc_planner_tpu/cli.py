@@ -40,6 +40,9 @@ def build_parser():
     ap.add_argument("--platform", default="",
                     help="force a jax platform (cpu/tpu); overrides host "
                          "site configuration, unlike JAX_PLATFORMS")
+    ap.add_argument("--plot", default="",
+                    help="render the run to this PNG (requires "
+                         "--save-result)")
     ap.add_argument("--set", action="append", default=[],
                     help="param override key=value (repeatable)")
     return ap
@@ -87,6 +90,19 @@ def run_one(mission_path: str, args, param) -> dict:
     if args.save_result:
         append_summary(args.log_dir, sim.param, mission.qn, summary,
                        mission_file=mission_path, world_file=args.world)
+        if args.plot:
+            from .sim.replay import read_result_csv
+            from .sim.visualize import plot_run
+            data = read_result_csv(log.path)
+            plot_run(data, args.plot,
+                     world_min=mission.world_min,
+                     world_max=mission.world_max,
+                     occupancy=esdf.occ if esdf is not None else None,
+                     occ_origin=esdf.origin_key if esdf is not None
+                     else None,
+                     occ_resolution=esdf.resolution if esdf is not None
+                     else None)
+            print(f"plot written to {args.plot}")
     print(json.dumps({"mission": mission_path, **{
         k: v for k, v in summary.items() if not hasattr(v, "shape")}}))
     return summary

@@ -747,6 +747,17 @@ class SyncSimulator:
             if self.is_finished(state):
                 flight_time = iters_done * p.multisim_time_step
                 break
+            if p.multisim_experiment:
+                # real-time pacing: warn when planning overruns the cycle
+                # budget (multi_sync_simulator.cpp:136-142)
+                margin = p.multisim_time_step - plan_times[-1]
+                if margin < 0:
+                    print(f"[SyncSimulator] planning too slow: "
+                          f"{-margin*1e3:.1f} ms over budget")
+                else:
+                    time.sleep(margin)
+            elif p.multisim_planning_rate > 0:
+                time.sleep(1.0 / p.multisim_planning_rate)
         wall = time.perf_counter() - t_wall0
         pt = np.asarray(plan_times[1:]) if len(plan_times) > 1 else \
             np.asarray(plan_times)
