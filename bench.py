@@ -62,14 +62,7 @@ def bench_size(qn: int, cycles: int = 30, warmup: int = 3,
     }
 
 
-def main():
-    results = {}
-    for qn, nbrs in ((16, -1), (64, -1), (1024, 32)):
-        try:
-            results[str(qn)] = bench_size(qn, max_neighbors=nbrs)
-        except Exception as e:  # keep the bench robust: report what ran
-            results[str(qn)] = {"error": f"{type(e).__name__}: {e}"}
-
+def _emit(results):
     headline = None
     for key in ("1024", "64", "16"):
         r = results.get(key, {})
@@ -85,7 +78,27 @@ def main():
         "vs_baseline": round(value / BASELINE_AGENT_CYCLES_PER_S, 2),
         "detail": results,
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    import signal
+    results = {}
+
+    def on_term(signum, frame):
+        # remote TPU compiles can take minutes per configuration; if the
+        # harness times us out, still emit whatever completed
+        results.setdefault("note", "terminated early")
+        _emit(results)
+        raise SystemExit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    for qn, nbrs in ((16, -1), (64, -1), (1024, 32)):
+        try:
+            results[str(qn)] = bench_size(qn, max_neighbors=nbrs)
+        except Exception as e:  # keep the bench robust: report what ran
+            results[str(qn)] = {"error": f"{type(e).__name__}: {e}"}
+    _emit(results)
 
 
 if __name__ == "__main__":
