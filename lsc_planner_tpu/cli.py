@@ -111,9 +111,13 @@ def run_one(mission_path: str, args, param) -> dict:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    import jax
     if args.platform:
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "float64":
+        # without x64 enabled JAX silently truncates requested f64 arrays
+        # to f32, defeating validation runs
+        jax.config.update("jax_enable_x64", True)
 
     if args.generate:
         from .missions import (make_circle_mission, make_square_mission,

@@ -46,6 +46,17 @@ def _masked(A, b, mask):
     return jnp.where(m, A, 0.0), jnp.where(mask, b, -1.0)
 
 
+def _cholesky(Hs):
+    """Batched Cholesky: Pallas batch-in-lanes kernel on TPU (XLA's batched
+    small-matrix Cholesky is the IPM's dominant cost there), jnp fallback
+    elsewhere / for f64 validation runs."""
+    if (jax.default_backend() == "tpu" and Hs.ndim == 3
+            and Hs.dtype == jnp.float32):
+        from .chol_pallas import cholesky_batched
+        return cholesky_batched(Hs)
+    return jnp.linalg.cholesky(Hs)
+
+
 def _chol_solve(L, rhs):
     """Solve (L L^T) x = rhs with batched triangular solves; rhs (..., n)."""
     z = jax.lax.linalg.triangular_solve(L, rhs[..., None], left_side=True,
@@ -147,7 +158,7 @@ def _solve_qp_impl(P, q, A, b, mask, y0, iters, reg, s_min, equilibrate):
         # accuracy without it
         dsc = jax.lax.rsqrt(jnp.einsum("...vv->...v", H))
         Hs = H * dsc[..., :, None] * dsc[..., None, :]
-        L = jnp.linalg.cholesky(Hs)
+        L = _cholesky(Hs)
 
         # predictor (affine scaling)
         r_c_aff = s * lam

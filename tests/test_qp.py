@@ -96,3 +96,21 @@ def test_violation_report(rng):
     vals, idx = qp.violation_report(A, b, y, top_k=2)
     assert int(idx[0, 0]) == 3 and float(vals[0, 0]) == 5.0
     assert int(idx[0, 1]) == 1 and float(vals[0, 1]) == 2.0
+
+
+def test_pallas_cholesky_matches_jnp(rng):
+    """Interpret-mode run of the batch-in-lanes Cholesky kernel vs
+    jnp.linalg.cholesky (f32, non-128-multiple batch exercises padding)."""
+    import jax.numpy as jnp
+    from lsc_planner_tpu.ops.chol_pallas import cholesky_batched
+
+    B, n = 5, 13
+    Ls = rng.normal(size=(B, n, n)).astype(np.float32)
+    H = Ls @ np.swapaxes(Ls, -1, -2) + n * np.eye(n, dtype=np.float32)
+    got = np.asarray(cholesky_batched(jnp.asarray(H), interpret=True,
+                                      block_b=8))
+    want = np.asarray(jnp.linalg.cholesky(jnp.asarray(H)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # upper triangle exactly zero
+    assert np.all(got[:, np.triu_indices(n, 1)[0],
+                      np.triu_indices(n, 1)[1]] == 0.0)
