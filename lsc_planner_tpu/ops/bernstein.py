@@ -192,3 +192,147 @@ def subdivide(ctrl, a: float, b: float):
     n = ctrl.shape[-2] - 1
     S = jnp.asarray(subdivision_matrix(n, a, b), dtype=ctrl.dtype)
     return jnp.einsum("ji,...jd->...id", S, ctrl)
+
+
+# ----------------------------------------------------------------------
+# real-root isolation + minimum distance between Bernstein curves
+# (reference realRootIsolation / distanceBetweenPolys,
+#  polynomial.hpp:243-413)
+# ----------------------------------------------------------------------
+
+def power_coeffs(ctrl):
+    """Monomial coefficients (ascending) of a Bernstein curve.
+
+    ctrl: (..., n+1) scalar control points -> (..., n+1) with
+    p(t) = sum_j a_j t^j.  Matches the reference's ``coef = c^T B``
+    conversion (polynomial.hpp:334-340).
+    """
+    n = ctrl.shape[-1] - 1
+    B = jnp.asarray(bernstein_matrix(n), dtype=ctrl.dtype)
+    return jnp.einsum("...i,ij->...j", ctrl, B)
+
+
+def poly_eval(coef, t):
+    """Horner evaluation of ascending monomial coefficients.
+    coef: (..., D+1); t broadcastable against (...,)."""
+    t = jnp.asarray(t, dtype=coef.dtype)
+    out = jnp.zeros(jnp.broadcast_shapes(coef.shape[:-1], t.shape),
+                    coef.dtype)
+    for j in range(coef.shape[-1] - 1, -1, -1):
+        out = out * t + coef[..., j]
+    return out
+
+
+@lru_cache(maxsize=None)
+def _conv_onehot(d0: int, d1: int) -> np.ndarray:
+    """T[j0, j1, j] = 1 iff j0 + j1 == j, for polynomial products."""
+    T = np.zeros((d0, d1, d0 + d1 - 1))
+    for j0 in range(d0):
+        for j1 in range(d1):
+            T[j0, j1, j0 + j1] = 1.0
+    return T
+
+
+def poly_multiply(a, b):
+    """Product of two ascending-coefficient polynomials, batched.
+    a: (..., D0+1), b: (..., D1+1) -> (..., D0+D1+1)."""
+    T = jnp.asarray(_conv_onehot(a.shape[-1], b.shape[-1]), dtype=a.dtype)
+    return jnp.einsum("...a,...b,abj->...j", a, b, T)
+
+
+def real_roots(coef, n_grid: int = 64, iters: int = 40):
+    """Roots of p in [0, 1]: sign-change bracketing + fixed bisection.
+
+    TPU re-design of the reference's Descartes/bisection queue
+    (realRootIsolation, polynomial.hpp:243-299): instead of a dynamic
+    work queue, brackets are isolated on a uniform n_grid sampling (exact
+    whenever adjacent roots are > 1/n_grid apart; the planner's degree-9
+    dot-product polynomials satisfy this except at coincident-curve
+    degeneracies, where the distance answer is unaffected) and refined
+    with a fixed-trip bisection so the whole search is one fused batched
+    program.
+
+    coef: (..., D+1) ascending.  Returns (roots (..., n_grid), mask):
+    root k lies in grid cell k; masked entries hold 1.0.
+    """
+    ts = jnp.linspace(0.0, 1.0, n_grid + 1).astype(coef.dtype)
+    vals = poly_eval(coef[..., None, :], ts)            # (..., n_grid+1)
+    sign_lo = vals[..., :-1]
+    sign_hi = vals[..., 1:]
+    bracket = sign_lo * sign_hi < 0.0                   # strict change
+    exact = sign_lo == 0.0                              # grid-point root
+
+    lo = jnp.broadcast_to(ts[:-1], bracket.shape)
+    hi = jnp.broadcast_to(ts[1:], bracket.shape)
+    neg_lo = sign_lo < 0.0                              # orientation
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        gm = poly_eval(coef[..., None, :], mid)
+        go_right = jnp.where(neg_lo, gm < 0.0, gm > 0.0)
+        return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    roots = jnp.where(exact, jnp.broadcast_to(ts[:-1], bracket.shape),
+                      0.5 * (lo + hi))
+    mask = bracket | exact
+    return jnp.where(mask, roots, 1.0), mask
+
+
+def curve_pair_min_distance(ctrl_a, ctrl_b, n_grid: int = 64,
+                            iters: int = 40):
+    """Minimum distance between two time-aligned Bernstein curves on [0,1].
+
+    ctrl_a/ctrl_b: (..., n+1, d).  Returns (dist, closest_rel_point) with
+    dist (...,), closest (..., d) = a(t*) - b(t*).
+
+    Follows distanceBetweenPolys (polynomial.hpp:310-413): form the
+    relative curve, build g(t) = <delta, delta'> in the monomial basis,
+    locate interior minima (g crossing - to +) and bisect each to
+    tolerance.  Divergence from the reference: the result also includes
+    both endpoints in the min even when interior minima exist (the
+    reference falls back to endpoints only when no interior candidate is
+    found, which can over-report the distance when an endpoint is the
+    true minimizer) -- ours is a true lower bound, never larger.
+    """
+    rel = ctrl_a - ctrl_b                                # (..., n+1, d)
+    coef = power_coeffs(jnp.swapaxes(rel, -1, -2))       # (..., d, n+1)
+    j = jnp.arange(1, coef.shape[-1], dtype=coef.dtype)
+    dcoef = coef[..., 1:] * j                            # (..., d, n)
+    g = jnp.sum(poly_multiply(coef, dcoef), axis=-2)     # (..., 2n)
+
+    ts = jnp.linspace(0.0, 1.0, n_grid + 1).astype(g.dtype)
+    vals = poly_eval(g[..., None, :], ts)                # (..., n_grid+1)
+    # minima: g goes negative -> non-negative (distance decreasing then
+    # increasing), matching the reference's g(a)<0 and g(b)>0 filter
+    bracket = (vals[..., :-1] < 0.0) & (vals[..., 1:] > 0.0)
+
+    lo = jnp.broadcast_to(ts[:-1], bracket.shape)
+    hi = jnp.broadcast_to(ts[1:], bracket.shape)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        gm = poly_eval(g[..., None, :], mid)
+        return (jnp.where(gm < 0.0, mid, lo),
+                jnp.where(gm < 0.0, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    t_cand = 0.5 * (lo + hi)                             # (..., n_grid)
+
+    p_cand = bernstein_eval(rel[..., None, :, :], t_cand)
+    d_cand = jnp.linalg.norm(p_cand, axis=-1)            # (..., n_grid)
+    d_cand = jnp.where(bracket, d_cand, jnp.inf)
+
+    d0 = jnp.linalg.norm(rel[..., 0, :], axis=-1)
+    d1 = jnp.linalg.norm(rel[..., -1, :], axis=-1)
+    all_d = jnp.concatenate(
+        [d_cand, d0[..., None], d1[..., None]], axis=-1)
+    all_p = jnp.concatenate(
+        [p_cand, rel[..., 0:1, :], rel[..., -1:, :]], axis=-2)
+    k = jnp.argmin(all_d, axis=-1)
+    dist = jnp.take_along_axis(all_d, k[..., None], axis=-1)[..., 0]
+    closest = jnp.take_along_axis(all_p, k[..., None, None],
+                                  axis=-2)[..., 0, :]
+    return dist, closest

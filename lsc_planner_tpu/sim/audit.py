@@ -69,6 +69,33 @@ def obstacle_safety_ratio(pos, obs_pos, radius, obs_radius):
     return jnp.min(dist / (radius[:, None] + obs_radius[None, :]))
 
 
+def continuous_safety_ratio(trajs, radius, downwash):
+    """Continuous-time pairwise safety ratio over the whole horizon.
+
+    Strengthens the reference's sampled audit
+    (multi_sync_simulator.cpp:446-503 samples at record_time_step) to an
+    exact-in-time check: for every agent pair and segment, the minimum of
+    the downwash-scaled relative Bernstein curve's norm is found by root
+    isolation on <delta, delta'> (distanceBetweenPolys,
+    polynomial.hpp:310-413), so no inter-sample near-miss can hide.
+
+    trajs: (N, M, n+1, 3).  Returns scalar min over pairs/segments/time of
+    ellipsoidal_distance / (r_i + r_j).
+    """
+    N = trajs.shape[0]
+    r_sum = radius[:, None] + radius[None, :]
+    dw = (downwash[:, None] * radius[:, None] +
+          downwash[None, :] * radius[None, :]) / r_sum        # (N, N)
+    rel = trajs[:, None] - trajs[None, :]          # (N, N, M, n+1, 3)
+    scale = jnp.stack([jnp.ones_like(dw), jnp.ones_like(dw), 1.0 / dw],
+                      axis=-1)                     # (N, N, 3)
+    rel = rel * scale[:, :, None, None, :]
+    dist, _ = bz.curve_pair_min_distance(rel, jnp.zeros_like(rel))
+    ratio = dist / r_sum[..., None]                # (N, N, M)
+    eye = jnp.eye(N, dtype=bool)[..., None]
+    return jnp.min(jnp.where(eye, jnp.inf, ratio))
+
+
 def step_distance(trajs, dt, record_time_step, time_step):
     """Total swarm path length accumulated over the upcoming step, sampled
     at the record resolution (getTotalDistance,

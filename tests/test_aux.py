@@ -179,3 +179,36 @@ def test_greedy_initial_mode():
     sim.param.initial_traj_mode = InitialTrajMode.GREEDY
     summary = sim.run(max_iterations=250)
     assert summary["iterations"] < 250
+
+
+def test_continuous_safety_ratio_lower_bounds_sampled(rng):
+    """Continuous-time audit is a lower bound of any sampled audit and
+    tight against dense sampling."""
+    import jax
+    from lsc_planner_tpu.sim import audit
+    from lsc_planner_tpu.ops import bernstein as bz
+    N, M, n = 4, 5, 5
+    base = rng.normal(size=(N, 1, 1, 3)) * 3.0
+    trajs = jnp.asarray(base + rng.normal(size=(N, M, n + 1, 3)) * 0.5)
+    # make the piecewise curve continuous across segments
+    trajs = trajs.at[:, 1:, 0].set(trajs[:, :-1, -1])
+    radius = jnp.asarray(rng.uniform(0.1, 0.3, size=N))
+    downwash = jnp.asarray(rng.uniform(1.0, 2.0, size=N))
+
+    cont = float(audit.continuous_safety_ratio(trajs, radius, downwash))
+
+    ts = np.linspace(0, 1, 2001)
+    pos = np.asarray(jax.vmap(
+        lambda t: bz.bernstein_eval(trajs, t))(jnp.asarray(ts)))
+    pos = pos.reshape(len(ts), N, M, 3)
+    r_sum = np.asarray(radius)[:, None] + np.asarray(radius)[None, :]
+    dw = (np.asarray(downwash)[:, None] * np.asarray(radius)[:, None] +
+          np.asarray(downwash)[None, :] * np.asarray(radius)[None, :]) / r_sum
+    delta = pos[:, :, None, :, :] - pos[:, None, :, :, :]  # (T,N,N,M,3)
+    dist = np.sqrt(delta[..., 0]**2 + delta[..., 1]**2 +
+                   (delta[..., 2] / dw[None, :, :, None])**2)
+    ratio = dist / r_sum[None, :, :, None]
+    ratio[:, np.arange(N), np.arange(N), :] = np.inf
+    sampled = float(ratio.min())
+    assert cont <= sampled + 1e-9
+    assert cont >= sampled - 1e-3

@@ -4,6 +4,7 @@ Reference formulas: include/polynomial.hpp; Q-Gram cross-checked against the
 shipped CPLEX dump /root/reference/log/QPmodel.lp (coefficient 45000 on
 z_0_0^2 = 2 * w_ci * Q_base[0,0] with w_ci = 0.01, dt = 0.2).
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -126,3 +127,54 @@ def test_subdivision(rng):
         np.testing.assert_allclose(bz.bernstein_eval(sub, t),
                                    bz.bernstein_eval(ctrl, b + a * t),
                                    atol=1e-9)
+
+
+def test_power_coeffs_matches_eval(rng):
+    ctrl = jnp.asarray(rng.normal(size=(5, 6)))     # 5 scalar curves, n=5
+    coef = bz.power_coeffs(ctrl)
+    for t in (0.0, 0.17, 0.5, 0.93, 1.0):
+        np.testing.assert_allclose(
+            bz.poly_eval(coef, t),
+            bz.bernstein_eval(ctrl[..., None], t)[..., 0], atol=1e-9)
+
+
+def test_real_roots_known_polynomial():
+    """(t - 0.3)(t - 0.7)(t + 1) ascending coefficients."""
+    r1, r2, r3 = 0.3, 0.7, -1.0
+    coef = jnp.asarray(np.poly(np.array([r1, r2, r3]))[::-1].copy())
+    roots, mask = bz.real_roots(coef)
+    found = np.sort(np.asarray(roots)[np.asarray(mask)])
+    np.testing.assert_allclose(found, [0.3, 0.7], atol=1e-9)
+
+
+def test_real_roots_grid_point_root():
+    coef = jnp.asarray(np.poly(np.array([0.5]))[::-1].copy())  # t - 0.5
+    roots, mask = bz.real_roots(coef, n_grid=64)
+    found = np.asarray(roots)[np.asarray(mask)]
+    assert len(found) == 1
+    np.testing.assert_allclose(found, [0.5], atol=1e-9)
+
+
+def test_curve_pair_min_distance_brute_force(rng):
+    """Golden: dense 20001-point sampling of |a(t) - b(t)| (the reference
+    computes the same minimum via root isolation + bisection,
+    polynomial.hpp:310-413)."""
+    ctrl_a = jnp.asarray(rng.normal(size=(8, 6, 3)) * 2.0)
+    ctrl_b = jnp.asarray(rng.normal(size=(8, 6, 3)) * 2.0)
+    dist, closest = bz.curve_pair_min_distance(ctrl_a, ctrl_b)
+    ts = np.linspace(0, 1, 20001)
+    rel = np.asarray(
+        jax.vmap(lambda t: bz.bernstein_eval(ctrl_a - ctrl_b, t))(
+            jnp.asarray(ts)))                     # (T, 8, 3)
+    brute = np.linalg.norm(rel, axis=-1).min(axis=0)
+    np.testing.assert_allclose(np.asarray(dist), brute, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(closest), axis=-1),
+                               brute, atol=1e-6)
+
+
+def test_curve_pair_min_distance_endpoint_case():
+    """Monotonically separating curves: min at t=0 exactly."""
+    a = jnp.asarray(np.linspace([0, 0, 0], [5, 0, 0], 6))
+    b = jnp.asarray(np.linspace([0, 1, 0], [-5, 1, 0], 6))
+    dist, _ = bz.curve_pair_min_distance(a, b)
+    np.testing.assert_allclose(float(dist), 1.0, atol=1e-9)
