@@ -200,3 +200,66 @@ def test_pallas_wavefront_matches_xla(rng):
     a = np.where(np.isinf(D_p), 1e9, np.minimum(D_p, 1e9))
     b = np.where(np.isinf(D_x), 1e9, np.minimum(D_x, 1e9))
     np.testing.assert_allclose(a, b)
+
+
+class TestMapping:
+    def test_bt_writer_roundtrip(self, rng, tmp_path):
+        from lsc_planner_tpu.world import mapping, octomap_io
+        pts = rng.uniform(-5, 5, size=(2000, 3))
+        keys = mapping.voxelize(pts, 0.25)
+        mapping.save_bt(str(tmp_path / "cloud.bt"), keys, 0.25)
+        tree = octomap_io.load_bt(str(tmp_path / "cloud.bt"))
+        out = []
+        for low, size in zip(tree.occupied_low, tree.occupied_size):
+            for dx in range(size):
+                for dy in range(size):
+                    for dz in range(size):
+                        out.append(low + np.array([dx, dy, dz]))
+        out = np.unique(np.asarray(out), axis=0)
+        np.testing.assert_array_equal(
+            np.sort(out.tolist()), np.sort(keys.tolist()))
+
+    def test_bt_writer_prunes_solid_cubes(self, tmp_path):
+        from lsc_planner_tpu.world import mapping, octomap_io
+        g = np.stack(np.meshgrid(*[np.arange(8)] * 3, indexing="ij"),
+                     -1).reshape(-1, 3)
+        mapping.save_bt(str(tmp_path / "cube.bt"), g, 0.1)
+        tree = octomap_io.load_bt(str(tmp_path / "cube.bt"))
+        assert len(tree.occupied_size) == 1
+        assert tree.occupied_size[0] == 8
+
+    def test_pcd_ascii_and_binary(self, rng, tmp_path):
+        from lsc_planner_tpu.world import mapping
+        pts = rng.normal(size=(64, 3)).astype(np.float32)
+        p_ascii = tmp_path / "a.pcd"
+        hdr = ("VERSION .7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+               "COUNT 1 1 1\nWIDTH 64\nHEIGHT 1\n"
+               "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 64\n")
+        body = "\n".join(" ".join(f"{v:.7g}" for v in p) for p in pts)
+        p_ascii.write_text(hdr + "DATA ascii\n" + body + "\n")
+        got = mapping.load_pcd(str(p_ascii))
+        np.testing.assert_allclose(got, pts, atol=1e-5)
+
+        p_bin = tmp_path / "b.pcd"
+        with open(p_bin, "wb") as f:
+            f.write((hdr + "DATA binary\n").encode())
+            f.write(pts.astype("<f4").tobytes())
+        got = mapping.load_pcd(str(p_bin))
+        np.testing.assert_allclose(got, pts, atol=1e-6)
+
+    def test_pointcloud_to_planner_world(self, tmp_path):
+        """Full pipeline: synthetic sensor cloud of a pillar -> .bt ->
+        ESDF the planner can consume."""
+        from lsc_planner_tpu.world import mapping
+        from lsc_planner_tpu.world.esdf import ESDF
+        zz, aa = np.meshgrid(np.linspace(0, 2.4, 40),
+                             np.linspace(0, 2 * np.pi, 60))
+        cloud = np.stack([1.0 + 0.3 * np.cos(aa), 0.3 * np.sin(aa), zz],
+                         -1).reshape(-1, 3)
+        out = str(tmp_path / "pillar.bt")
+        mapping.pointcloud_to_bt(cloud, 0.2, out)
+        esdf = ESDF.from_bt(out, (-3, -3, 0), (3, 3, 2.4))
+        d_inside = float(esdf.at_points(jnp.asarray([[1.0, 0.0, 1.0]]))[0])
+        d_far = float(esdf.at_points(jnp.asarray([[-2.5, -2.5, 1.0]]))[0])
+        assert d_inside <= 0.31
+        assert d_far == pytest.approx(1.0)   # dynamicEDT3D max_dist clamp
