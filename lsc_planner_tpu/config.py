@@ -169,6 +169,11 @@ class Param:
     # LOS goal).  Extension beyond the reference, which leaves such local
     # minima to chance; disable for strict behavioural parity.
     deadlock_rescue: bool = True
+    # Stall-count hysteresis: the count (which drives rescue escalation)
+    # resets only when an agent closes on its desired goal by at least
+    # this much in one cycle; velocity alone never resets it, so the
+    # rescue push can't cancel its own escalation.
+    deadlock_progress_eps: float = 0.01
     # float dtype used on device
     dtype: str = "float32"
 

@@ -18,6 +18,17 @@ corrector solves.  Iteration count is static for jit; masked rows are
 implemented by zeroing their A rows and giving them a trivially-satisfied
 bound so their duals decay to ~0.
 
+Two row representations share one IPM core (``_ipm``):
+ * dense rows (``solve_qp``) -- general, used by the slack-relaxation
+   modes and the ORCA/tests paths;
+ * factored plane rows (``solve_qp_lsc``) -- every LSC/SFC row is the
+   Kronecker product  a_{c,m,i} = normal_{c,m} (x) F_seg[m,i,:],  so
+   A y, A^T w and A^T D A are computed from the (C, M, 3) normals and the
+   static (M, n+1, nf) segment basis directly.  At 1024 agents x 32
+   neighbours the dense row tensor alone is ~180 MB and every IPM
+   iteration has to stream it twice from HBM; the factored form is ~100x
+   smaller and turns the Gram update into a few small MXU contractions.
+
 Infeasibility diagnostics (the analog of CPLEX conflict refinement,
 traj_optimizer.cpp:104-137) are returned as the per-row violation of the
 final iterate; callers report argmax rows.
@@ -66,68 +77,29 @@ def _chol_solve(L, rhs):
     return x[..., 0]
 
 
-def _chol_inverse(L):
-    """Explicit H^{-1} = L^{-T} L^{-1} from the Cholesky factor.
+def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min):
+    """Shared Mehrotra predictor-corrector core.
 
-    One wide triangular solve + one MXU matmul per iteration beats the
-    four narrow (single-rhs) triangular-solve custom calls the predictor/
-    corrector pair would otherwise issue -- batched skinny TriangularSolve
-    is latency-bound on TPU.
+    mv(y) -> (N, nr) = A y;  rmv(w) -> (N, nv) = A^T w;
+    gram(d) -> (N, nv, nv) = A^T diag(d) A.  Rows must arrive
+    pre-equilibrated (unit-ish row norms) and pre-masked.
     """
-    n = L.shape[-1]
-    eye = jnp.eye(n, dtype=L.dtype)
-    eye = jnp.broadcast_to(eye, L.shape)
-    Linv = jax.lax.linalg.triangular_solve(L, eye, left_side=True,
-                                           lower=True)
-    return jnp.einsum("...ki,...kj->...ij", Linv, Linv)
-
-
-def solve_qp(P, q, A, b, mask=None, y0=None, iters: int = 20,
-             reg: float = 1e-8, s_min: float = 1.0,
-             equilibrate: bool = True) -> QPSolution:
-    """Batched inequality-form QP solve; see module docstring.
-
-    All arrays share leading batch dims.  `y0` is an optional warm start
-    (the LSC-shifted previous solution is feasible by construction, which is
-    what makes warm starting effective here).  `s_min` floors the initial
-    slacks: starting well-centered (s ~ 1, lam ~ 1) matters more for
-    Mehrotra than starting primal-feasible.
-    """
-    with jax.default_matmul_precision("highest"):
-        return _solve_qp_impl(P, q, A, b, mask, y0, iters, reg, s_min,
-                              equilibrate)
-
-
-def _solve_qp_impl(P, q, A, b, mask, y0, iters, reg, s_min, equilibrate):
-    # NOTE: runs under matmul precision "highest" -- TPU's default bf16
-    # passes for f32 matmuls break the positive definiteness of
-    # H = P + A'DA and make the batched Cholesky produce NaNs.
     dtype = P.dtype
     nv = P.shape[-1]
-    nr = A.shape[-2]
-    A, b = _masked(A, b, mask)
-
-    # --- row equilibration: scale each constraint row to unit norm ---
-    if equilibrate:
-        row_norm = jnp.sqrt(jnp.sum(A * A, axis=-1) + 1e-12)
-        row_scale = jnp.where(row_norm > 1e-9, 1.0 / row_norm, 1.0)
-        A = A * row_scale[..., None]
-        b = b * row_scale
 
     if y0 is None:
         y0 = jnp.zeros(P.shape[:-1], dtype)
 
-    s0 = jnp.maximum(jnp.einsum("...rv,...v->...r", A, y0) - b, s_min)
+    s0 = jnp.maximum(mv(y0) - b, s_min)
     lam0 = jnp.ones_like(s0)
     eye = jnp.eye(nv, dtype=dtype)
 
-    def kkt_solve(L, dsc, A, lam, s, r_d, r_p, r_c):
+    def kkt_solve(L, dsc, lam, s, r_d, r_p, r_c):
         # (P + A'DA) dy = -r_d - A' [ (r_c + lam*r_p) / s ],
         # solved through the Jacobi-equilibrated Cholesky factor
-        rhs = -r_d - jnp.einsum("...rv,...r->...v", A,
-                                (r_c + lam * r_p) / s)
+        rhs = -r_d - rmv((r_c + lam * r_p) / s)
         dy = dsc * _chol_solve(L, dsc * rhs)
-        ds = jnp.einsum("...rv,...v->...r", A, dy) + r_p
+        ds = mv(dy) + r_p
         dlam = -(r_c + lam * ds) / s
         return dy, ds, dlam
 
@@ -140,14 +112,13 @@ def _solve_qp_impl(P, q, A, b, mask, y0, iters, reg, s_min, equilibrate):
 
     def body(carry, _):
         y, lam, s = carry
-        Ay = jnp.einsum("...rv,...v->...r", A, y)
-        r_d = jnp.einsum("...vw,...w->...v", P, y) + q - \
-            jnp.einsum("...rv,...r->...v", A, lam)
+        Ay = mv(y)
+        r_d = jnp.einsum("...vw,...w->...v", P, y) + q - rmv(lam)
         r_p = Ay - s - b
         mu = jnp.mean(s * lam, axis=-1)
 
         D = lam / s
-        H = P + jnp.einsum("...rv,...r,...rw->...vw", A, D, A)
+        H = P + gram(D)
         # relative ridge: f32 rounding at the ~1e4 scale of the jerk Gram
         # can cost positive-definiteness; an absolute 1e-8 is invisible
         diag_mean = jnp.einsum("...vv->...", H) / nv
@@ -162,8 +133,7 @@ def _solve_qp_impl(P, q, A, b, mask, y0, iters, reg, s_min, equilibrate):
 
         # predictor (affine scaling)
         r_c_aff = s * lam
-        dy_a, ds_a, dlam_a = kkt_solve(L, dsc, A, lam, s, r_d, r_p,
-                                       r_c_aff)
+        dy_a, ds_a, dlam_a = kkt_solve(L, dsc, lam, s, r_d, r_p, r_c_aff)
         a_p = step_len(s, ds_a)
         a_d = step_len(lam, dlam_a)
         mu_aff = jnp.mean((s + a_p[..., None] * ds_a) *
@@ -172,7 +142,7 @@ def _solve_qp_impl(P, q, A, b, mask, y0, iters, reg, s_min, equilibrate):
 
         # corrector
         r_c = s * lam + ds_a * dlam_a - (sigma * mu)[..., None]
-        dy, ds, dlam = kkt_solve(L, dsc, A, lam, s, r_d, r_p, r_c)
+        dy, ds, dlam = kkt_solve(L, dsc, lam, s, r_d, r_p, r_c)
         a_p = step_len(s, ds)
         a_d = step_len(lam, dlam)
         y_n = y + a_p[..., None] * dy
@@ -193,10 +163,118 @@ def _solve_qp_impl(P, q, A, b, mask, y0, iters, reg, s_min, equilibrate):
 
     obj = 0.5 * jnp.einsum("...v,...vw,...w->...", y, P, y) + \
         jnp.einsum("...v,...v->...", q, y)
-    viol = jnp.maximum(b - jnp.einsum("...rv,...v->...r", A, y), 0.0)
+    viol = jnp.maximum(b - mv(y), 0.0)
     primal_res = jnp.max(viol, axis=-1)
     gap = jnp.mean(s * lam, axis=-1)
     return QPSolution(y=y, lam=lam, obj=obj, primal_res=primal_res, gap=gap)
+
+
+def solve_qp(P, q, A, b, mask=None, y0=None, iters: int = 20,
+             reg: float = 1e-8, s_min: float = 1.0,
+             equilibrate: bool = True) -> QPSolution:
+    """Batched inequality-form QP solve over dense rows; see module
+    docstring.
+
+    All arrays share leading batch dims.  `y0` is an optional warm start
+    (the LSC-shifted previous solution is feasible by construction, which is
+    what makes warm starting effective here).  `s_min` floors the initial
+    slacks: starting well-centered (s ~ 1, lam ~ 1) matters more for
+    Mehrotra than starting primal-feasible.
+    """
+    with jax.default_matmul_precision("highest"):
+        # NOTE: TPU's default bf16 passes for f32 matmuls break the
+        # positive definiteness of H = P + A'DA and make the batched
+        # Cholesky produce NaNs.
+        A, b = _masked(A, b, mask)
+        if equilibrate:
+            row_norm = jnp.sqrt(jnp.sum(A * A, axis=-1) + 1e-12)
+            row_scale = jnp.where(row_norm > 1e-9, 1.0 / row_norm, 1.0)
+            A = A * row_scale[..., None]
+            b = b * row_scale
+
+        def mv(y):
+            return jnp.einsum("...rv,...v->...r", A, y)
+
+        def rmv(w):
+            return jnp.einsum("...rv,...r->...v", A, w)
+
+        def gram(d):
+            return jnp.einsum("...rv,...r,...rw->...vw", A, d, A)
+
+        return _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min)
+
+
+def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
+                 y0=None, iters: int = 20, reg: float = 1e-8,
+                 s_min: float = 1.0) -> QPSolution:
+    """Factored-row QP solve for the production LSC/SFC path.
+
+    Static rows (world bounds + dynamic limits) are one agent-shared
+    matrix A_st (R_s, nv) with per-agent rhs b_st (N, R_s).  Every plane
+    row is  normal_{c,m} (x) F_seg[m, i, :]  over the dim-major variable
+    layout y = (3, nf):
+
+        a_{c,m,i} . y = sum_k normal[c,m,k] * (F_seg[m,i,:] . y_k)
+
+    normal: (N, C, M, 3); rhs/mask: (N, C, M, n+1); F_seg: (M, n+1, nf).
+    Row equilibration uses |a| = |normal| * |F_seg[m,i]| exactly.
+    Returns duals ordered [static rows, plane rows (c-major)].
+    """
+    with jax.default_matmul_precision("highest"):
+        dtype = P.dtype
+        N = P.shape[0]
+        M, n1, nf = F_seg.shape
+        C = normal.shape[1]
+        nv = P.shape[-1]
+
+        F_seg = jnp.asarray(F_seg, dtype)
+        A_st = jnp.asarray(A_st, dtype)
+
+        # --- static rows: equilibrate once (rows are agent-shared) ---
+        st_norm = jnp.sqrt(jnp.sum(A_st * A_st, axis=-1) + 1e-12)
+        st_scale = jnp.where(st_norm > 1e-9, 1.0 / st_norm, 1.0)
+        A_st = A_st * st_scale[:, None]
+        b_st = b_st * st_scale[None, :]
+
+        # --- plane rows: |a_{c,m,i}| = |n_{c,m}| |F_seg[m,i]| ---
+        f_norm = jnp.sqrt(jnp.sum(F_seg * F_seg, axis=-1))       # (M, n+1)
+        n_norm = jnp.sqrt(jnp.sum(normal * normal, axis=-1))     # (N, C, M)
+        row_norm = n_norm[..., None] * f_norm[None, None]        # (N,C,M,i)
+        scale = jnp.where(row_norm > 1e-9, 1.0 / row_norm, 1.0)
+        scale = jnp.where(mask, scale, 0.0)      # masked rows -> zero row
+        b_pl = jnp.where(mask, rhs.astype(dtype) *
+                         jnp.where(row_norm > 1e-9, 1.0 / row_norm, 1.0),
+                         -1.0)
+        b = jnp.concatenate([b_st, b_pl.reshape(N, C * M * n1)], axis=1)
+
+        nsc = normal.astype(dtype)               # (N, C, M, 3)
+
+        def mv(y):
+            y3 = y.reshape(N, 3, nf)
+            x = jnp.einsum("mif,nkf->nkmi", F_seg, y3)      # (N,3,M,n+1)
+            pl = jnp.einsum("ncmk,nkmi->ncmi", nsc, x) * scale
+            st = jnp.einsum("rv,nv->nr", A_st, y)
+            return jnp.concatenate([st, pl.reshape(N, -1)], axis=1)
+
+        R_s = A_st.shape[0]
+
+        def rmv(w):
+            w_st = w[:, :R_s]
+            w_pl = (w[:, R_s:].reshape(N, C, M, n1)) * scale
+            v = jnp.einsum("ncmi,ncmk->nkmi", w_pl, nsc)
+            r_pl = jnp.einsum("mif,nkmi->nkf", F_seg, v).reshape(N, nv)
+            r_st = jnp.einsum("rv,nr->nv", A_st, w_st)
+            return r_st + r_pl
+
+        def gram(d):
+            d_st = d[:, :R_s]
+            d_pl = (d[:, R_s:].reshape(N, C, M, n1)) * scale * scale
+            H_st = jnp.einsum("rv,nr,rw->nvw", A_st, d_st, A_st)
+            W = jnp.einsum("ncmi,ncmk,ncml->nklmi", d_pl, nsc, nsc)
+            H_pl = jnp.einsum("nklmi,mif,mig->nkflg", W, F_seg, F_seg)
+            return H_st + H_pl.reshape(N, nv, nv)
+
+        return _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min)
 
 
 def violation_report(A, b, y, mask=None, top_k: int = 5):

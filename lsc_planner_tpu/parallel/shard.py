@@ -45,7 +45,9 @@ def state_specs() -> SwarmState:
                       primal_res=sharded, safety_agent_min=rep,
                       distance=rep, sfc=sharded, sfc_initialized=sharded,
                       start=sharded, desired_goal=sharded,
-                      safety_obs_min=rep, stall_count=sharded)
+                      safety_obs_min=rep, stall_count=sharded,
+                      rescue_goal=sharded, rescue_active=sharded,
+                      rescue_phase=sharded)
 
 
 def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
@@ -67,11 +69,16 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
         my_ids = shard * L + jnp.arange(L)
 
         pos_l, vel_l, acc_l = sim.propagate(state)
-        stalled = ((jnp.linalg.norm(vel_l, axis=-1)
-                    < p.deadlock_velocity_threshold) &
-                   (jnp.linalg.norm(pos_l - state.desired_goal, axis=-1)
-                    > p.goal_threshold) & (state.seq > 0))
-        stall_count = jnp.where(stalled, state.stall_count + 1, 0)
+        from ..sim.simulator import _update_stall_count, _update_rescue, \
+            _no_rescue
+        stall_count, progress = _update_stall_count(
+            state.stall_count, state.pos, pos_l, vel_l,
+            state.desired_goal, state.seq, p)
+        if p.deadlock_rescue:
+            rescue_goal, rescue_active, rescue_phase = _update_rescue(
+                state, pos_l, state.desired_goal, stall_count, progress, p)
+        else:
+            rescue_goal, rescue_active, rescue_phase = _no_rescue(state)
         init_l, pred_l = sim.predict_and_init(state.traj, pos_l, vel_l,
                                               state.seq)
 
@@ -98,7 +105,8 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
             max_vel=sim.max_vel[my_ids], max_acc=sim.max_acc[my_ids],
             desired_goal=state.desired_goal,
             sfc_prev=state.sfc, sfc_initialize=sfc_initialize,
-            sfc_seed=sfc_seed, stall_count=stall_count)
+            sfc_seed=sfc_seed, rescue_goal=rescue_goal,
+            rescue_active=rescue_active)
 
         # --- audit on gathered sampled positions (replicated scalar) ---
         ts = audit._sample_times(p.multisim_record_time_step,
@@ -122,7 +130,8 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
             sfc_initialized=jnp.ones_like(state.sfc_initialized),
             start=state.start, desired_goal=state.desired_goal,
             safety_obs_min=state.safety_obs_min,
-            stall_count=stall_count)
+            stall_count=stall_count, rescue_goal=rescue_goal,
+            rescue_active=rescue_active, rescue_phase=rescue_phase)
         info = CycleInfo(safety_step_min=safety_step, qp_cost=res.cost,
                          primal_res=res.primal_res)
         return new_state, info

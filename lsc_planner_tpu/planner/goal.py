@@ -35,7 +35,7 @@ class GoalPlanner:
     def plan(self, pos, vel, init_traj, desired_goal, seq, radius,
              downwash, prev_traj=None, obs_pos=None, obs_goal=None,
              obs_prev_traj=None, self_mask=None, obs_radius=None,
-             obs_downwash=None, orca_vel=None, stall_count=None):
+             obs_downwash=None, orca_vel=None):
         """Plan current goals for a block of agents.
 
         pos/vel/init_traj/desired_goal: local agent block (L, ...).
@@ -58,7 +58,7 @@ class GoalPlanner:
             return self._prior_based(pos, vel, init_traj, desired_goal,
                                      seq, radius, downwash, obs_pos,
                                      obs_goal, obs_prev_traj, self_mask,
-                                     obs_radius, obs_downwash, stall_count)
+                                     obs_radius, obs_downwash)
         if mode == GoalMode.ORCA:
             return self._orca_goal(pos, desired_goal, orca_vel)
         raise NotImplementedError(mode)
@@ -92,7 +92,7 @@ class GoalPlanner:
     # ------------------------------------------------------------------
     def _prior_based(self, pos, vel, init_traj, desired_goal, seq, radius,
                      downwash, obs_pos, obs_goal, obs_prev_traj, self_mask,
-                     obs_radius, obs_downwash, stall_count=None):
+                     obs_radius, obs_downwash):
         """goalPlanningWithPriority (traj_planner.cpp:540-608), batched.
 
         Local block (L, ...) against the global obstacle view (N, ...):
@@ -152,32 +152,11 @@ class GoalPlanner:
         clamped = jnp.where(dist > p.goal_radius,
                             init_end + _normalize(delta) * p.goal_radius,
                             los_goal)
-        out = jnp.where(too_close[:, None], away, clamped)
-
-        if p.deadlock_rescue and stall_count is not None:
-            # escalating escape from local minima (wedged against a parked
-            # agent or a tree with a frozen LOS goal).  Generalizes the
-            # reference's right-hand-rule displacement
-            # (traj_planner.cpp:1733-1748, :528-538): the first rescue is
-            # the right-hand turn; persisting stalls rotate the rescue
-            # goal through 90 -> 180 -> 270 degrees so no single blocked
-            # direction can trap an agent indefinitely.
-            deadlock = ((seq > p.deadlock_seq_threshold) &
-                        (stall_count > p.deadlock_seq_threshold) &
-                        (dist_to_goal > p.goal_threshold))
-            hold = 2 * p.deadlock_seq_threshold   # cycles per direction
-            phase = ((stall_count - p.deadlock_seq_threshold) // hold) % 3
-            theta = (jnp.pi / 2.0) * (1.0 + phase.astype(pos.dtype))
-            gdir = desired_goal - pos
-            c, s = jnp.cos(theta), jnp.sin(theta)
-            rot = jnp.stack([c * gdir[:, 0] + s * gdir[:, 1],
-                             -s * gdir[:, 0] + c * gdir[:, 1],
-                             gdir[:, 2]], axis=-1)
-            rescue = pos + _normalize(rot) * \
-                jnp.minimum(jnp.linalg.norm(gdir, axis=-1, keepdims=True),
-                            p.goal_radius)
-            out = jnp.where(deadlock[:, None], rescue, out)
-        return out
+        # NOTE: the deadlock rescue (latched escape waypoints) lives in the
+        # simulator cycle (sim/simulator.py _update_rescue), which owns the
+        # cross-cycle state it needs; it overrides this sub-goal when
+        # active.
+        return jnp.where(too_close[:, None], away, clamped)
 
 
 def _normalize(v, eps=1e-12):

@@ -440,26 +440,42 @@ class TrajOptimizer:
         # --- plane (LSC/SFC) rows ---
         normal, rhs, cmask = planes.normal, planes.rhs, planes.mask
         C = normal.shape[1]
-        # A row for (c, m, i): concat_k normal_k * F_seg[m, i]
-        A_pl = jnp.einsum("ncmk,mif->ncmikf", normal.astype(dtype), F_seg)
-        A_pl = A_pl.reshape(N, C * M * (n + 1), nv)
-        b_pl = rhs.astype(dtype) - jnp.einsum(
-            "ncmk,nkmi->ncmi", normal.astype(dtype), g_seg)
-        b_pl = b_pl.reshape(N, C * M * (n + 1))
+        b_pl4 = rhs.astype(dtype) - jnp.einsum(
+            "ncmk,nkmi->ncmi", normal.astype(dtype), g_seg)  # (N,C,M,n+1)
         i_idx = jnp.arange(n + 1)
         iskip = (m_idx[:, None] > 0) | (i_idx[None, :] >= phi)  # (M, n+1)
         ncs_mask = m_idx < p.n_constraint_segments               # (M,)
-        mask_pl = (cmask[..., None] & iskip[None, None] &
-                   ncs_mask[None, None, :, None])
-        mask_pl = mask_pl.reshape(N, C * M * (n + 1))
+        mask_pl4 = (cmask[..., None] & iskip[None, None] &
+                    ncs_mask[None, None, :, None])               # 4-D
 
         # --- static rows ---
-        A_st = jnp.broadcast_to(jnp.asarray(self.A_static_y, dtype)[None],
-                                (N,) + self.A_static_y.shape)
         b_st = self.static_b(jnp.asarray(world_min, dtype),
                              jnp.asarray(world_max, dtype),
                              max_vel.astype(dtype), max_acc.astype(dtype),
                              gx)
+
+        # Row-representation dispatch (static shapes, decided at trace
+        # time): the factored form wins once the dense (N, C*M*(n+1), nv)
+        # row tensor is HBM-bandwidth-bound (~180 MB at 1024 agents x 32
+        # neighbours, streamed twice per IPM iteration); below that one
+        # big matmul beats many small contractions, so small swarms stay
+        # dense.  Slack modes always use dense rows.
+        dense_bytes = N * C * M * (n + 1) * nv * np.dtype(dtype).itemsize
+        if slack is None and dense_bytes > 48 * 2 ** 20:
+            sol = qp_ops.solve_qp_lsc(
+                P, q, self.A_static_y, b_st, normal.astype(dtype), b_pl4,
+                mask_pl4, F_seg, y0=y_warm, iters=p.qp_iterations)
+            return self._recover(sol, N, dtype, None, None, tmask,
+                                 current_goal, gx)
+
+        # dense rows
+        A_pl = jnp.einsum("ncmk,mif->ncmikf", normal.astype(dtype), F_seg)
+        A_pl = A_pl.reshape(N, C * M * (n + 1), nv)
+        b_pl = b_pl4.reshape(N, C * M * (n + 1))
+        mask_pl = mask_pl4.reshape(N, C * M * (n + 1))
+
+        A_st = jnp.broadcast_to(jnp.asarray(self.A_static_y, dtype)[None],
+                                (N,) + self.A_static_y.shape)
         mask_st = jnp.ones(b_st.shape, dtype=bool)
 
         A = jnp.concatenate([A_st, A_pl], axis=1)
@@ -510,12 +526,21 @@ class TrajOptimizer:
         sol = qp_ops.solve_qp(P, q, A, b, mask=mask, y0=y_warm,
                               iters=p.qp_iterations)
 
-        y_sol = sol.y
-        if slack is not None:
-            slack_vals = y_sol[:, nv:]
-            y_sol = y_sol[:, :nv]
+        slack_vals = sol.y[:, nv:] if slack is not None else None
+        return self._recover(sol, N, dtype, slack_vals, slack_wts, tmask,
+                             current_goal, gx)
 
-        # --- recover control points ---
+    def _recover(self, sol, N, dtype, slack_vals, slack_wts, tmask,
+                 current_goal, gx):
+        """Map the QP solution back to control points and the CPLEX-parity
+        objective value (shared by the dense and factored paths)."""
+        M, n, dim = self.M, self.n, self.dim
+        nf, nv = self.nf, self.nv
+        w_ci = self.param.control_input_weight
+        w_t = self.param.terminal_weight
+        F = jnp.asarray(self.F, dtype)
+
+        y_sol = sol.y[:, :nv]
         y_dims = y_sol.reshape(N, dim, nf)
         x = jnp.einsum("pf,nkf->nkp", F, y_dims) + gx     # (N, dim, nvx)
         traj = x.reshape(N, dim, M, n + 1).transpose(0, 2, 3, 1)
@@ -532,5 +557,4 @@ class TrajOptimizer:
                                            slack_vals ** 2)
 
         return QPResult(traj=traj, cost=cost, primal_res=sol.primal_res,
-                        gap=sol.gap, y=sol.y[:, :nv] if slack is not None
-                        else sol.y, slack=slack_vals)
+                        gap=sol.gap, y=y_sol, slack=slack_vals)

@@ -107,3 +107,66 @@ def initial_traj_check(init, pos, reset_threshold: float):
     frozen = jnp.broadcast_to(pos[:, None, None, :], init.shape)
     init = jnp.where(deviated[:, None, None, None], frozen, init)
     return init, deviated
+
+
+def linear_prediction_slowdown(init, obs_pred, agent_radius, obs_radius,
+                               obs_mask, horizon, esdf=None,
+                               search_step: float = 0.1, eps: float = 1e-6):
+    """Slow-down factor for linear prediction modes (generateLSC preamble,
+    traj_planner.cpp:1310-1330): if any predicted straight-line motion
+    collides within the horizon, the initial and predicted trajectories
+    are contracted around their start points by
+    alpha = (t_min_collision - eps) / horizon.
+
+    init: (L, M, n+1, 3); obs_pred: (L, O, M, n+1, 3);
+    agent_radius: (L,); obs_radius, obs_mask: (L, O).
+    Checked, per agent: own path vs the static distmap (sampled at
+    search_step like computeCollisionTimeToDistmap,
+    traj_planner.cpp:1760-1793), own path vs every obstacle path, and
+    obstacle-vs-obstacle pairs within the agent's own obstacle view
+    (computeMinCollisionTime :1795-1870).  Returns alpha (L,) in [0, 1].
+    """
+    from ..ops import geometry as geo
+    a_start = init[:, 0, 0, :]
+    a_end = init[:, -1, -1, :]
+    o_start = obs_pred[:, :, 0, 0, :]                  # (L, O, 3)
+    o_end = obs_pred[:, :, -1, -1, :]
+
+    # agent vs obstacles
+    t_ao = geo.collision_time_linear(
+        o_start, o_end, a_start[:, None], a_end[:, None],
+        agent_radius[:, None] + obs_radius, horizon)
+    t_ao = jnp.where(obs_mask, t_ao, jnp.inf)
+    t_min = jnp.min(t_ao, axis=1)                      # (L,)
+
+    # obstacle pairs within this agent's view (j < k)
+    O = obs_pred.shape[1]
+    t_oo = geo.collision_time_linear(
+        o_start[:, :, None], o_end[:, :, None],
+        o_start[:, None, :], o_end[:, None, :],
+        obs_radius[:, :, None] + obs_radius[:, None, :], horizon)
+    pair_mask = (obs_mask[:, :, None] & obs_mask[:, None, :] &
+                 (jnp.arange(O)[:, None] < jnp.arange(O)[None, :]))
+    t_oo = jnp.where(pair_mask, t_oo, jnp.inf)
+    t_min = jnp.minimum(t_min, jnp.min(t_oo, axis=(1, 2)))
+
+    # own path vs the static distance map, sampled every search_step
+    if esdf is not None:
+        n_samp = max(int(np.ceil(horizon / search_step)) + 1, 2)
+        taus = jnp.linspace(0.0, 1.0, n_samp).astype(init.dtype)
+        pts = (a_start[:, None, :] +
+               (a_end - a_start)[:, None, :] * taus[:, None])  # (L, S, 3)
+        hit = esdf.at_points(pts) < agent_radius[:, None]
+        t_samp = jnp.where(hit, taus * horizon, jnp.inf)
+        t_min = jnp.minimum(t_min, jnp.min(t_samp, axis=1))
+
+    alpha = jnp.clip((t_min - eps) / horizon, 0.0, 1.0)
+    return jnp.where(jnp.isfinite(t_min), alpha, 1.0)
+
+
+def contract_trajectories(traj, alpha):
+    """Scale control points toward the trajectory start by alpha
+    (traj_planner.cpp:1323-1328): c <- c0 + alpha (c - c0).
+    traj: (..., M, n+1, 3); alpha broadcastable to the batch dims."""
+    c0 = traj[..., 0:1, 0:1, :]
+    return c0 + alpha[..., None, None, None] * (traj - c0)

@@ -58,12 +58,78 @@ class SwarmState(NamedTuple):
     safety_obs_min: jnp.ndarray    # () running min agent-obstacle ratio
     stall_count: jnp.ndarray   # (N,) consecutive low-velocity cycles
     # (deadlock_start_seq bookkeeping analog, traj_planner.cpp:396-409)
+    rescue_goal: jnp.ndarray   # (N, 3) latched deadlock-escape waypoint
+    rescue_active: jnp.ndarray  # (N,) bool
+    rescue_phase: jnp.ndarray  # (N,) int32 escalation phase (90/180/270)
 
 
 class CycleInfo(NamedTuple):
     safety_step_min: jnp.ndarray
     qp_cost: jnp.ndarray
     primal_res: jnp.ndarray
+
+
+def _update_stall_count(prev_count, prev_pos, pos, vel, desired_goal,
+                        seq, p):
+    """Stall counter with progress hysteresis (shared by the single-chip
+    and sharded cycles).  +1 while stalled; -1 (decay, not reset) while
+    moving without closing on the goal, so the rescue push's own motion
+    cannot cancel the escalation (a hard reset there creates a
+    stall/rescue limit cycle); reset to 0 only on real progress or
+    arrival.  Returns (count, progress)."""
+    dist = jnp.linalg.norm(pos - desired_goal, axis=-1)
+    prev_dist = jnp.linalg.norm(prev_pos - desired_goal, axis=-1)
+    progress = (prev_dist - dist) > p.deadlock_progress_eps
+    stalled = ((jnp.linalg.norm(vel, axis=-1)
+                < p.deadlock_velocity_threshold) &
+               (dist > p.goal_threshold) & (seq > 0))
+    reset = progress | (dist <= p.goal_threshold)
+    count = jnp.where(reset, 0,
+                      jnp.where(stalled, prev_count + 1,
+                                jnp.maximum(prev_count - 1, 0)))
+    return count, progress
+
+
+def _update_rescue(state, pos, desired_goal, stall_count, progress, p):
+    """Latched deadlock-escape waypoints (extension beyond the reference,
+    which leaves forest pocket deadlocks to chance -- README.md:75).
+
+    When the stall count crosses the threshold, freeze a waypoint at
+    goal_radius along the goal direction rotated by the escalation phase
+    (90/180/270 degrees), and chase it INSTEAD of the planner subgoal
+    until it is reached or the agent makes real progress toward its
+    desired goal.  A latched waypoint (vs. re-deriving the push every
+    cycle) is what prevents the stall/rescue tug-of-war: the normal
+    subgoal cannot pull the agent straight back into the pocket while the
+    escape is in flight.  Each re-engagement without intervening progress
+    rotates the phase, so no single blocked direction traps an agent.
+
+    Returns (rescue_goal, rescue_active, rescue_phase).
+    """
+    reached = (jnp.linalg.norm(pos - state.rescue_goal, axis=-1)
+               < p.goal_threshold) & state.rescue_active
+    phase = jnp.where(progress, 0, state.rescue_phase)
+    active = state.rescue_active & ~progress & ~reached
+
+    engage = (stall_count > p.deadlock_seq_threshold) & ~active
+    phase_new = jnp.where(engage, phase % 3 + 1, phase)  # 1..3
+    gdir = desired_goal - pos
+    gnorm = jnp.linalg.norm(gdir, axis=-1, keepdims=True)
+    theta = (jnp.pi / 2.0) * phase_new.astype(pos.dtype)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.stack([c * gdir[..., 0] + s * gdir[..., 1],
+                     -s * gdir[..., 0] + c * gdir[..., 1],
+                     gdir[..., 2]], axis=-1)
+    rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True),
+                            1e-12)
+    waypoint = pos + rot * jnp.minimum(gnorm, p.goal_radius)
+    rescue_goal = jnp.where(engage[..., None], waypoint, state.rescue_goal)
+    return rescue_goal, active | engage, phase_new
+
+
+def _no_rescue(state):
+    return state.rescue_goal, jnp.zeros_like(state.rescue_active), \
+        jnp.zeros_like(state.rescue_phase)
 
 
 @dataclasses.dataclass
@@ -162,6 +228,9 @@ class SyncSimulator:
             desired_goal=self.desired_goal,
             safety_obs_min=jnp.asarray(np.inf, dt),
             stall_count=jnp.zeros((N,), jnp.int32),
+            rescue_goal=zeros,
+            rescue_active=jnp.zeros((N,), bool),
+            rescue_phase=jnp.zeros((N,), jnp.int32),
         )
 
     # ------------------------------------------------------------------
@@ -280,7 +349,7 @@ class SyncSimulator:
                    radius, downwash, nominal_velocity, max_vel, max_acc,
                    desired_goal, sfc_prev=None, sfc_initialize=None,
                    sfc_seed=None, y_warm=None, dyn_pos=None, dyn_vel=None,
-                   dyn_pred=None, stall_count=None):
+                   dyn_pred=None, rescue_goal=None, rescue_active=None):
         """Plan one block of agents (L, ...) against the global obstacle
         view (N_total, ...).  Returns (QPResult, current_goal, sfc)."""
         p = self.param
@@ -293,8 +362,12 @@ class SyncSimulator:
             seq=seq, radius=radius, downwash=downwash,
             obs_pos=obs_pos_global, obs_goal=obs_goal_global,
             obs_prev_traj=obs_prev_global, self_mask=self_mask,
-            obs_radius=self.radius, obs_downwash=self.downwash,
-            stall_count=stall_count)
+            obs_radius=self.radius, obs_downwash=self.downwash)
+        if rescue_goal is not None and rescue_active is not None:
+            # latched deadlock-escape waypoint replaces the subgoal while
+            # active (see _update_rescue)
+            current_goal = jnp.where(rescue_active[:, None], rescue_goal,
+                                     current_goal)
 
         K = p.max_neighbors
         if 0 < K < O:
@@ -348,6 +421,20 @@ class SyncSimulator:
                 [obs_max_acc,
                  jnp.broadcast_to(self.obs_max_acc_dyn[None], (L, Od))],
                 axis=1)
+
+        from ..config import PredictionMode
+        if p.prediction_mode in (PredictionMode.VELOCITY,
+                                 PredictionMode.ORCA):
+            # linear-prediction slowdown (generateLSC preamble,
+            # traj_planner.cpp:1310-1330): contract colliding straight-line
+            # predictions so the LSC margins stay feasible
+            alpha = pred.linear_prediction_slowdown(
+                init, obs_pred, radius, obs_radius, obs_mask,
+                horizon=M * p.dt,
+                esdf=self.goal_planner.esdf if p.world_use_octomap
+                else None)
+            init = pred.contract_trajectories(init, alpha)
+            obs_pred = pred.contract_trajectories(obs_pred, alpha[:, None])
 
         slack_spec = None
         if p.planner_mode == PlannerMode.LSC:
@@ -427,12 +514,20 @@ class SyncSimulator:
         start, desired_goal = self._patrol_swap(state, pos)
 
         # stall bookkeeping for deadlock rescue (deadlock_start_seq
-        # analog, traj_planner.cpp:396-409)
-        stalled = ((jnp.linalg.norm(vel, axis=-1)
-                    < p.deadlock_velocity_threshold) &
-                   (jnp.linalg.norm(pos - desired_goal, axis=-1)
-                    > p.goal_threshold) & (state.seq > 0))
-        stall_count = jnp.where(stalled, state.stall_count + 1, 0)
+        # analog, traj_planner.cpp:396-409).  Hysteresis: the count
+        # resets only on real progress toward the desired goal -- a
+        # velocity blip from the rescue push itself must not cancel the
+        # escalation, or a blocked agent enters a stall/rescue limit
+        # cycle and never escapes (rescue moves it, count resets, rescue
+        # drops, it re-stalls in the same trap).
+        stall_count, progress = _update_stall_count(
+            state.stall_count, state.pos, pos, vel, desired_goal,
+            state.seq, p)
+        if p.deadlock_rescue:
+            rescue_goal, rescue_active, rescue_phase = _update_rescue(
+                state, pos, desired_goal, stall_count, progress, p)
+        else:
+            rescue_goal, rescue_active, rescue_phase = _no_rescue(state)
 
         if p.planner_mode == PlannerMode.ORCA:
             return self._cycle_orca(state, pos, vel, acc, start,
@@ -459,7 +554,8 @@ class SyncSimulator:
             desired_goal=desired_goal,
             sfc_prev=state.sfc, sfc_initialize=sfc_initialize,
             sfc_seed=sfc_seed, dyn_pos=dyn_pos, dyn_vel=dyn_vel,
-            dyn_pred=dyn_pred, stall_count=stall_count)
+            dyn_pred=dyn_pred,
+            rescue_goal=rescue_goal, rescue_active=rescue_active)
 
         # safety audit + metrics over the upcoming time step
         # (savePlanningResult, multi_sync_simulator.cpp:446-503)
@@ -488,6 +584,8 @@ class SyncSimulator:
             start=start, desired_goal=desired_goal,
             safety_obs_min=jnp.minimum(state.safety_obs_min, obs_safety),
             stall_count=stall_count,
+            rescue_goal=rescue_goal, rescue_active=rescue_active,
+            rescue_phase=rescue_phase,
         )
         info = CycleInfo(safety_step_min=safety_step, qp_cost=res.cost,
                          primal_res=res.primal_res)
@@ -532,7 +630,10 @@ class SyncSimulator:
             sfc_initialized=state.sfc_initialized,
             start=start, desired_goal=desired_goal,
             safety_obs_min=state.safety_obs_min,
-            stall_count=state.stall_count)
+            stall_count=state.stall_count,
+            rescue_goal=state.rescue_goal,
+            rescue_active=state.rescue_active,
+            rescue_phase=state.rescue_phase)
         info = CycleInfo(safety_step_min=safety_step, qp_cost=zeros,
                          primal_res=zeros)
         return new_state, info

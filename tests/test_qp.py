@@ -114,3 +114,45 @@ def test_pallas_cholesky_matches_jnp(rng):
     # upper triangle exactly zero
     assert np.all(got[:, np.triu_indices(n, 1)[0],
                       np.triu_indices(n, 1)[1]] == 0.0)
+
+
+def test_factored_lsc_matches_dense(rng):
+    """solve_qp_lsc (factored plane rows) must agree with solve_qp on the
+    equivalent dense row set: a_{c,m,i} = normal_{c,m} (x) F_seg[m,i,:]."""
+    N, C, M, n1, nf = 3, 4, 5, 6, 13
+    nv = 3 * nf
+
+    L = rng.normal(size=(N, nv, nv)) * 0.3
+    P = L @ np.swapaxes(L, -1, -2) + 2.0 * np.eye(nv)
+    q = rng.normal(size=(N, nv))
+    F_seg = rng.normal(size=(M, n1, nf))
+    A_st = rng.normal(size=(20, nv))
+    b_st = rng.normal(size=(N, 20)) - 3.0
+    normal = rng.normal(size=(N, C, M, 3))
+    rhs = rng.normal(size=(N, C, M, n1)) - 3.0
+    mask = rng.uniform(size=(N, C, M, n1)) > 0.3
+
+    # dense equivalent
+    A_pl = np.einsum("ncmk,mif->ncmikf", normal, F_seg)
+    A_pl = A_pl.reshape(N, C * M * n1, nv)
+    A = np.concatenate(
+        [np.broadcast_to(A_st[None], (N,) + A_st.shape), A_pl], axis=1)
+    b = np.concatenate([b_st, rhs.reshape(N, -1)], axis=1)
+    m_all = np.concatenate(
+        [np.ones((N, 20), bool), mask.reshape(N, -1)], axis=1)
+
+    dense = qp.solve_qp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                        jnp.asarray(b), mask=jnp.asarray(m_all), iters=25)
+    fact = qp.solve_qp_lsc(jnp.asarray(P), jnp.asarray(q),
+                           jnp.asarray(A_st), jnp.asarray(b_st),
+                           jnp.asarray(normal), jnp.asarray(rhs),
+                           jnp.asarray(mask), jnp.asarray(F_seg), iters=25)
+    # both paths approach the same optimum; masked-row bookkeeping
+    # perturbs the Mehrotra centering slightly, so compare at the
+    # convergence tolerance rather than bitwise
+    np.testing.assert_allclose(np.asarray(fact.y), np.asarray(dense.y),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fact.obj),
+                               np.asarray(dense.obj), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(fact.primal_res),
+                               np.asarray(dense.primal_res), atol=1e-6)

@@ -73,3 +73,74 @@ def test_first_cycle_feasible():
     traj = np.asarray(state.traj)
     np.testing.assert_allclose(traj[:, 0, 0, :],
                                np.asarray(sim.start), atol=1e-6)
+
+
+def test_stall_count_hysteresis():
+    """Progress-based stall bookkeeping: +1 stalled, -1 moving without
+    progress (the rescue's own push must not cancel escalation), reset
+    only on real progress toward the goal."""
+    from lsc_planner_tpu.sim.simulator import _update_stall_count
+    p = Param()
+    goal = jnp.asarray([[10.0, 0.0, 1.0]])
+    seq = jnp.asarray(5)
+    pos0 = jnp.asarray([[0.0, 0.0, 1.0]])
+    v_still = jnp.zeros((1, 3))
+    v_move = jnp.asarray([[0.0, 1.0, 0.0]])
+
+    c = jnp.asarray([7], jnp.int32)
+    # stalled in place -> +1, no progress
+    c1, pr1 = _update_stall_count(c, pos0, pos0, v_still, goal, seq, p)
+    assert int(c1[0]) == 8 and not bool(pr1[0])
+    # moving sideways (no progress toward goal) -> decay, not reset
+    pos_side = jnp.asarray([[0.0, 0.5, 1.0]])
+    c2, pr2 = _update_stall_count(c1, pos0, pos_side, v_move, goal, seq, p)
+    assert int(c2[0]) == 7 and not bool(pr2[0])
+    # real progress -> hard reset
+    pos_fwd = jnp.asarray([[0.5, 0.0, 1.0]])
+    c3, pr3 = _update_stall_count(c2, pos0, pos_fwd, v_move, goal, seq, p)
+    assert int(c3[0]) == 0 and bool(pr3[0])
+    # decay floors at zero
+    c4, _ = _update_stall_count(jnp.asarray([0], jnp.int32), pos0,
+                                pos_side, v_move, goal, seq, p)
+    assert int(c4[0]) == 0
+
+
+def test_rescue_waypoint_latch():
+    """Latched escape waypoints: engage on threshold crossing, persist
+    while chasing, release on progress, rotate phase on re-engagement."""
+    from lsc_planner_tpu.sim.simulator import (SyncSimulator, _update_rescue)
+    mission = make_circle_mission(2, radius=4.0,
+                                  world=(-6, -6, 0, 6, 6, 2.5))
+    sim = SyncSimulator(mission, Param(), dtype=jnp.float64)
+    st = sim.initial_state()
+    p = sim.param
+    pos = st.pos
+    goal = st.desired_goal
+    stall = jnp.asarray([p.deadlock_seq_threshold + 1, 0], jnp.int32)
+    no_prog = jnp.zeros(2, bool)
+
+    g1, a1, ph1 = _update_rescue(st, pos, goal, stall, no_prog, p)
+    assert bool(a1[0]) and not bool(a1[1])
+    assert int(ph1[0]) == 1
+    # 90-degree rotation: waypoint perpendicular to the goal direction
+    gdir = np.asarray(goal[0] - pos[0])
+    wdir = np.asarray(g1[0] - pos[0])
+    assert abs(np.dot(gdir[:2], wdir[:2])) < 1e-9
+
+    # while active and no progress: waypoint persists even as stall decays
+    st2 = st._replace(rescue_goal=g1, rescue_active=a1, rescue_phase=ph1)
+    g2, a2, ph2 = _update_rescue(st2, pos, goal,
+                                 jnp.zeros(2, jnp.int32), no_prog, p)
+    assert bool(a2[0])
+    np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(g1[0]))
+
+    # progress releases the latch and resets the phase
+    prog = jnp.asarray([True, False])
+    _, a3, ph3 = _update_rescue(st2, pos, goal,
+                                jnp.zeros(2, jnp.int32), prog, p)
+    assert not bool(a3[0]) and int(ph3[0]) == 0
+
+    # re-engagement without progress escalates to phase 2 (180 degrees)
+    st4 = st._replace(rescue_phase=ph1)     # inactive, phase 1 remembered
+    _, a4, ph4 = _update_rescue(st4, pos, goal, stall, no_prog, p)
+    assert bool(a4[0]) and int(ph4[0]) == 2
