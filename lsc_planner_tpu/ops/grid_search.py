@@ -249,6 +249,19 @@ class GridPlanner:
         min_clear = jnp.min(self.esdf.at_points(ray), axis=-1)  # (N, P)
         thr = (radius[:, None] * ratios[None, :] +
                0.5 * self.param.world_resolution - SP_EPSILON_FLOAT)
+        # Escape clamp: the reference's castRay rejects any ray whose
+        # ORIGIN clearance is below the margin (grid_based_planner.cpp:
+        # 420-422), so an agent squeezed into a sub-margin pocket (EDT
+        # discretization can put it there -- the reference warns about
+        # exactly this, README.md:70-75) freezes forever: every ray fails
+        # at t=0, the sub-goal degenerates to its own position.  Clamp
+        # the required clearance to just below the origin's own, so rays
+        # that never get CLOSER to the static world than the agent
+        # already is stay admissible; actual safety is still enforced by
+        # the SFC constraints in the QP, the sub-goal only steers it.
+        origin_clear = self.esdf.at_points(init_end)            # (N,)
+        thr = jnp.minimum(thr, (origin_clear - SP_EPSILON_FLOAT -
+                                1e-3)[:, None])
         safe = min_clear[:, None, :] > thr[:, :, None]          # (N, 6, P)
         prefix_safe = jnp.cumprod(safe, axis=-1).astype(bool)
         n_safe = jnp.sum(prefix_safe, axis=-1)              # (N, 6)

@@ -75,8 +75,9 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
             state.stall_count, state.pos, pos_l, vel_l,
             state.desired_goal, state.seq, p)
         if p.deadlock_rescue:
-            rescue_goal, rescue_active, rescue_phase = _update_rescue(
-                state, pos_l, state.desired_goal, stall_count, progress, p)
+            rescue_goal, rescue_active, rescue_phase, stall_count = \
+                _update_rescue(state, pos_l, state.desired_goal,
+                               stall_count, progress, p)
         else:
             rescue_goal, rescue_active, rescue_phase = _no_rescue(state)
         init_l, pred_l = sim.predict_and_init(state.traj, pos_l, vel_l,

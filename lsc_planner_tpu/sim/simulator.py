@@ -104,14 +104,27 @@ def _update_rescue(state, pos, desired_goal, stall_count, progress, p):
     escape is in flight.  Each re-engagement without intervening progress
     rotates the phase, so no single blocked direction traps an agent.
 
-    Returns (rescue_goal, rescue_active, rescue_phase).
+    A latched waypoint can itself be unreachable (e.g. inside a tree, or
+    outside the agent's collapsed SFC), so an active rescue EXPIRES when
+    the stall count re-crosses the threshold: engagement resets the
+    count, and if the agent is still stalled `deadlock_seq_threshold`
+    cycles later the waypoint is abandoned and the phase rotates.
+    Without this the first unreachable waypoint latches forever and the
+    escalation dies (observed on multi_square16 + simple_forest: an
+    agent wedged against a tree at its start never escaped).
+
+    Returns (rescue_goal, rescue_active, rescue_phase, stall_count).
     """
     reached = (jnp.linalg.norm(pos - state.rescue_goal, axis=-1)
                < p.goal_threshold) & state.rescue_active
     phase = jnp.where(progress, 0, state.rescue_phase)
     active = state.rescue_active & ~progress & ~reached
 
-    engage = (stall_count > p.deadlock_seq_threshold) & ~active
+    over = stall_count > p.deadlock_seq_threshold
+    expire = active & over
+    active = active & ~expire
+    engage = over & ~active
+    stall_count = jnp.where(engage, 0, stall_count)
     phase_new = jnp.where(engage, phase % 3 + 1, phase)  # 1..3
     gdir = desired_goal - pos
     gnorm = jnp.linalg.norm(gdir, axis=-1, keepdims=True)
@@ -124,7 +137,7 @@ def _update_rescue(state, pos, desired_goal, stall_count, progress, p):
                             1e-12)
     waypoint = pos + rot * jnp.minimum(gnorm, p.goal_radius)
     rescue_goal = jnp.where(engage[..., None], waypoint, state.rescue_goal)
-    return rescue_goal, active | engage, phase_new
+    return rescue_goal, active | engage, phase_new, stall_count
 
 
 def _no_rescue(state):
@@ -524,8 +537,9 @@ class SyncSimulator:
             state.stall_count, state.pos, pos, vel, desired_goal,
             state.seq, p)
         if p.deadlock_rescue:
-            rescue_goal, rescue_active, rescue_phase = _update_rescue(
-                state, pos, desired_goal, stall_count, progress, p)
+            rescue_goal, rescue_active, rescue_phase, stall_count = \
+                _update_rescue(state, pos, desired_goal, stall_count,
+                               progress, p)
         else:
             rescue_goal, rescue_active, rescue_phase = _no_rescue(state)
 

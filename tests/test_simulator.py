@@ -119,9 +119,11 @@ def test_rescue_waypoint_latch():
     stall = jnp.asarray([p.deadlock_seq_threshold + 1, 0], jnp.int32)
     no_prog = jnp.zeros(2, bool)
 
-    g1, a1, ph1 = _update_rescue(st, pos, goal, stall, no_prog, p)
+    g1, a1, ph1, c1 = _update_rescue(st, pos, goal, stall, no_prog, p)
     assert bool(a1[0]) and not bool(a1[1])
     assert int(ph1[0]) == 1
+    # engagement resets the stall count (starts the expiry clock)
+    assert int(c1[0]) == 0
     # 90-degree rotation: waypoint perpendicular to the goal direction
     gdir = np.asarray(goal[0] - pos[0])
     wdir = np.asarray(g1[0] - pos[0])
@@ -129,18 +131,24 @@ def test_rescue_waypoint_latch():
 
     # while active and no progress: waypoint persists even as stall decays
     st2 = st._replace(rescue_goal=g1, rescue_active=a1, rescue_phase=ph1)
-    g2, a2, ph2 = _update_rescue(st2, pos, goal,
-                                 jnp.zeros(2, jnp.int32), no_prog, p)
+    g2, a2, ph2, _ = _update_rescue(st2, pos, goal,
+                                    jnp.zeros(2, jnp.int32), no_prog, p)
     assert bool(a2[0])
     np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(g1[0]))
 
     # progress releases the latch and resets the phase
     prog = jnp.asarray([True, False])
-    _, a3, ph3 = _update_rescue(st2, pos, goal,
-                                jnp.zeros(2, jnp.int32), prog, p)
+    _, a3, ph3, _ = _update_rescue(st2, pos, goal,
+                                   jnp.zeros(2, jnp.int32), prog, p)
     assert not bool(a3[0]) and int(ph3[0]) == 0
 
     # re-engagement without progress escalates to phase 2 (180 degrees)
     st4 = st._replace(rescue_phase=ph1)     # inactive, phase 1 remembered
-    _, a4, ph4 = _update_rescue(st4, pos, goal, stall, no_prog, p)
+    _, a4, ph4, _ = _update_rescue(st4, pos, goal, stall, no_prog, p)
     assert bool(a4[0]) and int(ph4[0]) == 2
+
+    # an unreachable waypoint EXPIRES: still active + stall re-crosses the
+    # threshold -> abandon it, rotate the phase, re-latch a new waypoint
+    g5, a5, ph5, c5 = _update_rescue(st2, pos, goal, stall, no_prog, p)
+    assert bool(a5[0]) and int(ph5[0]) == 2 and int(c5[0]) == 0
+    assert np.linalg.norm(np.asarray(g5[0] - g1[0])) > 1e-6
