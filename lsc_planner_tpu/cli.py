@@ -66,18 +66,20 @@ def _load_param(args):
     return Param.from_dict(d)
 
 
-def run_one(mission_path: str, args, param) -> dict:
+def run_one(mission_path: str, args, param, world: str = None) -> dict:
     import jax.numpy as jnp
     from .missions import load_mission
     from .sim.simulator import SyncSimulator
     from .sim.logging import ResultLogger, append_summary
 
+    if world is None:
+        world = args.world
     mission = load_mission(mission_path, param,
-                           world_file_name=args.world)
+                           world_file_name=world)
     esdf = None
-    if args.world:
+    if world:
         from .world.esdf import ESDF
-        esdf = ESDF.from_bt(args.world, mission.world_min,
+        esdf = ESDF.from_bt(world, mission.world_min,
                             mission.world_max)
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
     sim = SyncSimulator(mission, param, esdf=esdf, dtype=dtype)
@@ -89,7 +91,7 @@ def run_one(mission_path: str, args, param) -> dict:
     summary.pop("final_state", None)
     if args.save_result:
         append_summary(args.log_dir, sim.param, mission.qn, summary,
-                       mission_file=mission_path, world_file=args.world)
+                       mission_file=mission_path, world_file=world)
         if args.plot:
             from .sim.replay import read_result_csv
             from .sim.visualize import plot_run
@@ -157,8 +159,20 @@ def main(argv=None):
     if os.path.isdir(args.mission):
         files = sorted(glob.glob(os.path.join(args.mission, "**", "*.json"),
                                  recursive=True))
-        for f in files:
-            run_one(f, args, param)
+        worlds = [args.world] * len(files)
+        if args.world and os.path.isdir(args.world):
+            # the reference's testall sweeps pair the lexicographically
+            # sorted mission list with the sorted world list index-wise
+            # (param.cpp:106-141: both collected via std::set)
+            worlds = sorted(glob.glob(os.path.join(args.world, "**",
+                                                   "*.bt"),
+                            recursive=True))
+            if len(worlds) != len(files):
+                raise SystemExit(
+                    f"world dir has {len(worlds)} .bt files but mission "
+                    f"dir has {len(files)} .json files")
+        for f, w in zip(files, worlds):
+            run_one(f, args, param, world=w)
     else:
         run_one(args.mission, args, param)
     return 0

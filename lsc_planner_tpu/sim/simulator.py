@@ -652,6 +652,38 @@ class SyncSimulator:
                          primal_res=zeros)
         return new_state, info
 
+    def make_scan_cycle(self, k: int):
+        """Fuse `k` planning cycles into ONE device dispatch via lax.scan.
+
+        The reference replans at 5 Hz with a hard host round trip per
+        cycle (ROS spin); on a remotely-attached TPU the per-dispatch
+        host<->device latency (~25 ms through the tunnel) would floor
+        small-swarm cycle times far above the actual compute.  Scanning k
+        cycles on device amortizes that latency to ~1/k and lets XLA
+        pipeline across cycle boundaries.  Only valid when nothing needs
+        the host mid-cycle: no analytic dynamic obstacles (they are
+        evaluated host-side per cycle) and no real-time pacing.
+
+        Returns multi(state) -> (state_k, (CycleInfo stacked (k, ...),
+        max_goal_dist (k,), cum_distance (k,))); the stacked per-cycle
+        goal distances and cumulative flight distance let the host
+        recover the exact finishing cycle and its metrics inside a block
+        after the fact.
+        """
+        if self.obstacle_generator is not None:
+            raise ValueError("scan-fused cycles need device-only state; "
+                             "dynamic obstacles are evaluated on the host "
+                             "per cycle (use steps_per_dispatch=1)")
+
+        def body(state, _):
+            new_state, info = self._cycle(state)
+            goal_dist = jnp.max(jnp.linalg.norm(
+                new_state.pos - new_state.desired_goal, axis=-1))
+            return new_state, (info, goal_dist, new_state.distance)
+
+        return jax.jit(lambda state: jax.lax.scan(body, state, None,
+                                                  length=k))
+
     def _oracle_prediction(self, t_sim: float) -> np.ndarray:
         """Perfect dynamic-obstacle prediction: sample the true analytic
         model over the horizon and fit Bernstein control points per segment
@@ -799,15 +831,32 @@ class SyncSimulator:
 
     def run(self, max_iterations: Optional[int] = None,
             log: Optional[object] = None,
-            cycle_fn=None, profile: bool = False) -> dict:
+            cycle_fn=None, profile: bool = False,
+            steps_per_dispatch: int = 1) -> dict:
         """Host loop: cycle until all agents reach goals or iteration cap.
 
         Returns a summary dict in the shape of the reference's summary CSV
         row (saveSummarizedResultAsCSV, multi_sync_simulator.cpp:589-633).
         `cycle_fn` overrides the cycle implementation (e.g. the sharded
         multi-chip cycle from parallel/shard.py).
+
+        `steps_per_dispatch` > 1 fuses that many cycles into one device
+        dispatch (make_scan_cycle), amortizing host<->device latency; the
+        finishing cycle is still recovered exactly from the per-cycle
+        goal distances, but per-cycle host logging/pacing and dynamic
+        obstacles are unsupported, and the reported flight distance may
+        include sub-cm hover jitter from cycles planned after the finish.
         """
         p = self.param
+        if steps_per_dispatch > 1:
+            if cycle_fn is not None or log is not None or \
+                    self.obstacle_generator is not None or \
+                    p.multisim_experiment or p.multisim_planning_rate > 0:
+                raise ValueError("steps_per_dispatch > 1 is incompatible "
+                                 "with cycle_fn/log/dynamic obstacles/"
+                                 "real-time pacing")
+            return self._run_fused(max_iterations, steps_per_dispatch,
+                                   profile)
         cycle = cycle_fn or self._cycle_jit
         max_iter = max_iterations or p.multisim_max_planner_iteration
         state = self.initial_state()
@@ -876,6 +925,50 @@ class SyncSimulator:
         wall = time.perf_counter() - t_wall0
         pt = np.asarray(plan_times[1:]) if len(plan_times) > 1 else \
             np.asarray(plan_times)
+        return self._summarize(state, pt, wall, iters_done, flight_time,
+                               is_collided, profile)
+
+    def _run_fused(self, max_iterations, k: int, profile: bool) -> dict:
+        """run() body for steps_per_dispatch = k > 1: blocks of k cycles
+        per device dispatch, exact finish detection from the stacked
+        per-cycle goal distances."""
+        p = self.param
+        max_iter = max_iterations or p.multisim_max_planner_iteration
+        multi = self.make_scan_cycle(k)
+        state = self.initial_state()
+        t_wall0 = time.perf_counter()
+        plan_times = []
+        is_collided = False
+        flight_time = float("nan")
+        iters_done = 0
+        for block in range((max_iter + k - 1) // k):
+            t0 = time.perf_counter()
+            state, (info, goal_dist, cum_dist) = multi(state)
+            state.traj.block_until_ready()
+            plan_times.append((time.perf_counter() - t0) / k)
+            gd = np.asarray(goal_dist)
+            safety = np.asarray(info.safety_step_min)
+            done = gd < p.goal_threshold
+            if not p.multisim_patrol and done.any():
+                j = int(np.argmax(done))              # first finished cycle
+                iters_done = block * k + j + 1
+                flight_time = iters_done * p.multisim_time_step
+                is_collided |= bool((safety[:j + 1] < 1.0).any())
+                # truncate metrics at the finish cycle (cycles j+1..k-1
+                # were planned speculatively inside the block)
+                state = state._replace(distance=cum_dist[j])
+                break
+            iters_done = block * k + k
+            is_collided |= bool((safety < 1.0).any())
+        wall = time.perf_counter() - t_wall0
+        pt = np.asarray(plan_times[1:]) if len(plan_times) > 1 else \
+            np.asarray(plan_times)
+        return self._summarize(state, pt, wall, iters_done, flight_time,
+                               is_collided, profile)
+
+    def _summarize(self, state, pt, wall, iters_done, flight_time,
+                   is_collided, profile) -> dict:
+        p = self.param
         stage_times = {}
         if profile and self.param.planner_mode != PlannerMode.ORCA:
             stage_times = self.profile_stages(state)

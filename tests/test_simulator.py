@@ -152,3 +152,36 @@ def test_rescue_waypoint_latch():
     g5, a5, ph5, c5 = _update_rescue(st2, pos, goal, stall, no_prog, p)
     assert bool(a5[0]) and int(ph5[0]) == 2 and int(c5[0]) == 0
     assert np.linalg.norm(np.asarray(g5[0] - g1[0])) > 1e-6
+
+
+def test_fused_dispatch_matches_per_cycle():
+    """steps_per_dispatch=k (lax.scan-fused cycles, one device dispatch
+    per k cycles) must reproduce the per-cycle host loop exactly: same
+    finishing iteration, flight time, and collision verdict."""
+    mission = make_circle_mission(6, radius=3.0,
+                                  world=(-5, -5, 0, 5, 5, 2.5))
+    param = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=10)
+
+    s_ref = SyncSimulator(mission, param, dtype=jnp.float64).run(
+        max_iterations=120)
+    s_fus = SyncSimulator(mission, param, dtype=jnp.float64).run(
+        max_iterations=120, steps_per_dispatch=8)
+
+    assert s_ref["iterations"] < 120
+    assert s_fus["iterations"] == s_ref["iterations"]
+    np.testing.assert_allclose(s_fus["total_flight_time"],
+                               s_ref["total_flight_time"])
+    assert not s_fus["is_collided"]
+    assert s_fus["safety_ratio_agent"] >= 1.0
+    # distance is truncated at the finish cycle -> exact match
+    np.testing.assert_allclose(s_fus["total_flight_distance"],
+                               s_ref["total_flight_distance"],
+                               rtol=1e-12)
+
+
+def test_fused_dispatch_rejects_dynamic_obstacles():
+    mission = make_circle_mission(4, radius=3.0,
+                                  world=(-5, -5, 0, 5, 5, 2.5))
+    sim = SyncSimulator(mission, Param(), dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        sim.run(steps_per_dispatch=4, log=object())
