@@ -163,6 +163,14 @@ class Param:
     hull_iterations: int = 96
     # Fixed iteration cap for SFC box expansion (per axis sweep).
     sfc_expansion_cap: int = 256
+    # LOS ray admissibility check: False = fixed fine sampling at
+    # <= resolution/2 spacing (a valid sphere cover, cheaper at 1000+
+    # agents); True = the reference castRay's recursive-bisection
+    # semantics exactly (grid_based_planner.cpp:409-433), as a bottom-up
+    # DP over dyadic segments -- use for behavioural parity runs.  The
+    # exact mode also disables the origin-clearance escape clamp (a
+    # robustness extension the reference does not have).
+    grid_los_exact_castray: bool = False
     # Apply the right-hand-rule goal displacement
     # (traj_planner.cpp:528-538) inside priority-based goal planning when
     # an agent is deadlocked (wedged against agents/trees with a frozen

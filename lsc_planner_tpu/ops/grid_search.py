@@ -226,20 +226,10 @@ class GridPlanner:
             - SP_EPSILON_FLOAT
         return jnp.all(d > thr, axis=-1)
 
-    def los_free_goal(self, path_points, init_end, desired_goal, radius):
-        """findLOSFreeGoal (grid_based_planner.cpp:350-407): walk the path
-        in order, keep the furthest point with line of sight from the
-        initial-trajectory endpoint; retry with shrinking margin ratios
-        1.5 -> 1.0 until the sub-goal moves > 0.3 m.
-
-        path_points: (N, P, 3); init_end/desired_goal: (N, 3);
-        radius: (N,).  Returns (N, 3).
-        """
-        N = path_points.shape[0]
-        pts = jnp.concatenate([path_points, desired_goal[:, None]], axis=1)
-        P = pts.shape[1]
-        ratios = jnp.asarray([1.5, 1.4, 1.3, 1.2, 1.1, 1.0], self.dtype)
-
+    def _ray_safe_sampled(self, pts, init_end, radius, ratios):
+        """Sampled sphere-cover admissibility for all (agent, ratio, path
+        point) rays, with the origin-clearance escape clamp.  Returns
+        (N, 6, P) bool."""
         # clearance profile along each ray evaluated once; the six margin
         # ratios only change the threshold
         t = jnp.linspace(0.0, 1.0, self.ray_samples).astype(pts.dtype)
@@ -262,7 +252,78 @@ class GridPlanner:
         origin_clear = self.esdf.at_points(init_end)            # (N,)
         thr = jnp.minimum(thr, (origin_clear - SP_EPSILON_FLOAT -
                                 1e-3)[:, None])
-        safe = min_clear[:, None, :] > thr[:, :, None]          # (N, 6, P)
+        return min_clear[:, None, :] > thr[:, :, None]          # (N, 6, P)
+
+    @property
+    def castray_depth(self) -> int:
+        """Dyadic recursion depth for the exact castRay DP: deep enough
+        that any all-clear segment resolves by the sphere-cover test
+        (d_l < 2 sqrt(margin * resolution) given endpoint clearance
+        > margin + resolution/2), so the fixed-depth cutoff can never
+        fire on a ray the reference recursion would accept."""
+        p = self.param
+        diag = float(np.linalg.norm(self.grid_max - self.grid_min)) + 1e-6
+        r_min = min(float(a.radius) for a in self.mission.agents)
+        d_resolve = 2.0 * np.sqrt(max(r_min * p.world_resolution, 1e-6))
+        return max(1, min(10, int(np.ceil(np.log2(diag / d_resolve)))))
+
+    def _ray_safe_bisect(self, pts, init_end, radius, ratios):
+        """Exact castRay recursion (grid_based_planner.cpp:409-433) as a
+        bottom-up DP over dyadic segments: a level-l segment is safe iff
+        its endpoints clear margin + resolution/2 AND (the sphere-cover
+        test sqrt(d_l^2/4 + margin^2) < min(1, endpoint clearances)
+        passes OR both level-(l+1) halves are safe).  Returns (N, 6, P)
+        bool."""
+        p = self.param
+        depth = self.castray_depth
+        S = 2 ** depth + 1
+        t = jnp.linspace(0.0, 1.0, S).astype(pts.dtype)
+        ray = init_end[:, None, None, :] + \
+            (pts - init_end[:, None, :])[:, :, None, :] * t[None, None, :,
+                                                            None]
+        c = self.esdf.at_points(ray)                        # (N, P, S)
+        length = jnp.linalg.norm(pts - init_end[:, None, :], axis=-1)
+        margin = radius[:, None] * ratios[None, :]          # (N, 6)
+        res_thr = 0.5 * p.world_resolution - SP_EPSILON_FLOAT
+        max_dist = 1.0                                      # castRay TODO
+
+        safe = None
+        for level in range(depth, -1, -1):
+            stride = 2 ** (depth - level)
+            cl = c[:, :, ::stride]                          # (N,P,2^l+1)
+            left = cl[:, :, :-1][:, :, None, :]             # (N,P,1,2^l)
+            right = cl[:, :, 1:][:, :, None, :]
+            m = margin[:, None, :, None]                    # (N,1,6,1)
+            d_l = (length / (2 ** level))[:, :, None, None]
+            thr = jnp.sqrt(0.25 * d_l * d_l + m * m)
+            eok = (left > m + res_thr) & (right > m + res_thr)
+            cover = (thr < max_dist) & (left > thr) & (right > thr)
+            if safe is None:
+                safe_l = eok & cover
+            else:
+                child = safe[..., 0::2] & safe[..., 1::2]
+                safe_l = eok & (cover | child)
+            safe = safe_l
+        return jnp.swapaxes(safe[..., 0], 1, 2)             # (N, 6, P)
+
+    def los_free_goal(self, path_points, init_end, desired_goal, radius):
+        """findLOSFreeGoal (grid_based_planner.cpp:350-407): walk the path
+        in order, keep the furthest point with line of sight from the
+        initial-trajectory endpoint; retry with shrinking margin ratios
+        1.5 -> 1.0 until the sub-goal moves > 0.3 m.
+
+        path_points: (N, P, 3); init_end/desired_goal: (N, 3);
+        radius: (N,).  Returns (N, 3).
+        """
+        N = path_points.shape[0]
+        pts = jnp.concatenate([path_points, desired_goal[:, None]], axis=1)
+        P = pts.shape[1]
+        ratios = jnp.asarray([1.5, 1.4, 1.3, 1.2, 1.1, 1.0], self.dtype)
+
+        if self.param.grid_los_exact_castray:
+            safe = self._ray_safe_bisect(pts, init_end, radius, ratios)
+        else:
+            safe = self._ray_safe_sampled(pts, init_end, radius, ratios)
         prefix_safe = jnp.cumprod(safe, axis=-1).astype(bool)
         n_safe = jnp.sum(prefix_safe, axis=-1)              # (N, 6)
         last_idx = jnp.maximum(n_safe - 1, 0)

@@ -94,11 +94,18 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min):
     lam0 = jnp.ones_like(s0)
     eye = jnp.eye(nv, dtype=dtype)
 
-    def kkt_solve(L, dsc, lam, s, r_d, r_p, r_c):
-        # (P + A'DA) dy = -r_d - A' [ (r_c + lam*r_p) / s ],
-        # solved through the Jacobi-equilibrated Cholesky factor
-        rhs = -r_d - rmv((r_c + lam * r_p) / s)
-        dy = dsc * _chol_solve(L, dsc * rhs)
+    # On TPU/f32 the factorization AND the 4 triangular substitutions per
+    # iteration run as fused batch-in-lanes Pallas kernels; the factor
+    # never leaves its lanes layout (XLA's batched triangular_solve on
+    # tiny matrices is as sequential as its Cholesky).
+    use_lanes = (jax.default_backend() == "tpu" and P.ndim == 3
+                 and dtype == jnp.float32)
+
+    def kkt_rhs(lam, s, r_d, r_p, r_c):
+        # (P + A'DA) dy = -r_d - A' [ (r_c + lam*r_p) / s ]
+        return -r_d - rmv((r_c + lam * r_p) / s)
+
+    def kkt_finish(dy, lam, s, r_p, r_c):
         ds = mv(dy) + r_p
         dlam = -(r_c + lam * ds) / s
         return dy, ds, dlam
@@ -129,11 +136,17 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min):
         # accuracy without it
         dsc = jax.lax.rsqrt(jnp.einsum("...vv->...v", H))
         Hs = H * dsc[..., :, None] * dsc[..., None, :]
-        L = _cholesky(Hs)
 
         # predictor (affine scaling)
         r_c_aff = s * lam
-        dy_a, ds_a, dlam_a = kkt_solve(L, dsc, lam, s, r_d, r_p, r_c_aff)
+        rhs_aff = kkt_rhs(lam, s, r_d, r_p, r_c_aff)
+        if use_lanes:
+            from .chol_pallas import chol_factor_solve, chol_resolve
+            L, z_aff = chol_factor_solve(Hs, dsc * rhs_aff)
+        else:
+            L = _cholesky(Hs)
+            z_aff = _chol_solve(L, dsc * rhs_aff)
+        dy_a, ds_a, dlam_a = kkt_finish(dsc * z_aff, lam, s, r_p, r_c_aff)
         a_p = step_len(s, ds_a)
         a_d = step_len(lam, dlam_a)
         mu_aff = jnp.mean((s + a_p[..., None] * ds_a) *
@@ -142,7 +155,12 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min):
 
         # corrector
         r_c = s * lam + ds_a * dlam_a - (sigma * mu)[..., None]
-        dy, ds, dlam = kkt_solve(L, dsc, lam, s, r_d, r_p, r_c)
+        rhs_c = kkt_rhs(lam, s, r_d, r_p, r_c)
+        if use_lanes:
+            z_c = chol_resolve(L, dsc * rhs_c)
+        else:
+            z_c = _chol_solve(L, dsc * rhs_c)
+        dy, ds, dlam = kkt_finish(dsc * z_c, lam, s, r_p, r_c)
         a_p = step_len(s, ds)
         a_d = step_len(lam, dlam)
         y_n = y + a_p[..., None] * dy
@@ -206,7 +224,7 @@ def solve_qp(P, q, A, b, mask=None, y0=None, iters: int = 20,
 
 def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
                  y0=None, iters: int = 20, reg: float = 1e-8,
-                 s_min: float = 1.0) -> QPSolution:
+                 s_min: float = 1.0, static_blocks=None) -> QPSolution:
     """Factored-row QP solve for the production LSC/SFC path.
 
     Static rows (world bounds + dynamic limits) are one agent-shared
@@ -219,6 +237,12 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
     normal: (N, C, M, 3); rhs/mask: (N, C, M, n+1); F_seg: (M, n+1, nf).
     Row equilibration uses |a| = |normal| * |F_seg[m,i]| exactly.
     Returns duals ordered [static rows, plane rows (c-major)].
+
+    static_blocks (optional): (U (dim, Ru, nf), row_perm, inv_row_perm)
+    from TrajOptimizer.static_blocked -- exploits the one-block-per-row
+    sparsity and +- pairing of the static rows so their Gram is three
+    (nf, nf) blocks instead of a dense (nv, nv) product (the dominant
+    IPM cost at production sizes without it).
     """
     with jax.default_matmul_precision("highest"):
         dtype = P.dtype
@@ -236,6 +260,17 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
         A_st = A_st * st_scale[:, None]
         b_st = b_st * st_scale[None, :]
 
+        if static_blocks is not None:
+            U_np, row_perm_np, inv_row_perm_np = static_blocks
+            ndim = U_np.shape[0]
+            Ru = U_np.shape[1]
+            # scale the unique +rows with their (pair-shared) row scale
+            u_scale = st_scale[jnp.asarray(row_perm_np[0::2].copy())]
+            U = jnp.asarray(U_np, dtype) * \
+                u_scale.reshape(ndim, Ru)[..., None].astype(dtype)
+            row_perm = jnp.asarray(row_perm_np)
+            inv_row_perm = jnp.asarray(inv_row_perm_np)
+
         # --- plane rows: |a_{c,m,i}| = |n_{c,m}| |F_seg[m,i]| ---
         f_norm = jnp.sqrt(jnp.sum(F_seg * F_seg, axis=-1))       # (M, n+1)
         n_norm = jnp.sqrt(jnp.sum(normal * normal, axis=-1))     # (N, C, M)
@@ -248,31 +283,53 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
         b = jnp.concatenate([b_st, b_pl.reshape(N, C * M * n1)], axis=1)
 
         nsc = normal.astype(dtype)               # (N, C, M, 3)
+        R_s = A_st.shape[0]
+
+        def mv_st(y):
+            if static_blocks is None:
+                return jnp.einsum("rv,nv->nr", A_st, y)
+            y3 = y.reshape(N, ndim, nf)
+            s_u = jnp.einsum("kuf,nkf->nku", U, y3)         # +row values
+            pair = jnp.stack([s_u, -s_u], axis=-1)          # (N,k,Ru,2)
+            return pair.reshape(N, R_s)[:, inv_row_perm]
+
+        def rmv_st(w_st):
+            if static_blocks is None:
+                return jnp.einsum("rv,nr->nv", A_st, w_st)
+            w_p = w_st[:, row_perm].reshape(N, ndim, Ru, 2)
+            w_pair = w_p[..., 0] - w_p[..., 1]
+            return jnp.einsum("kuf,nku->nkf", U, w_pair).reshape(N, nv)
+
+        def gram_st(d_st):
+            if static_blocks is None:
+                return jnp.einsum("rv,nr,rw->nvw", A_st, d_st, A_st)
+            d_p = d_st[:, row_perm].reshape(N, ndim, Ru, 2)
+            d_pair = d_p[..., 0] + d_p[..., 1]              # (N, k, Ru)
+            H_blk = jnp.einsum("kuf,nku,kug->nkfg", U, d_pair, U)
+            # scatter the 3 diagonal blocks into (N, nv, nv)
+            H = jnp.zeros((N, nv, nv), dtype)
+            for k in range(ndim):
+                H = H.at[:, k * nf:(k + 1) * nf,
+                         k * nf:(k + 1) * nf].set(H_blk[:, k])
+            return H
 
         def mv(y):
             y3 = y.reshape(N, 3, nf)
             x = jnp.einsum("mif,nkf->nkmi", F_seg, y3)      # (N,3,M,n+1)
             pl = jnp.einsum("ncmk,nkmi->ncmi", nsc, x) * scale
-            st = jnp.einsum("rv,nv->nr", A_st, y)
-            return jnp.concatenate([st, pl.reshape(N, -1)], axis=1)
-
-        R_s = A_st.shape[0]
+            return jnp.concatenate([mv_st(y), pl.reshape(N, -1)], axis=1)
 
         def rmv(w):
-            w_st = w[:, :R_s]
             w_pl = (w[:, R_s:].reshape(N, C, M, n1)) * scale
             v = jnp.einsum("ncmi,ncmk->nkmi", w_pl, nsc)
             r_pl = jnp.einsum("mif,nkmi->nkf", F_seg, v).reshape(N, nv)
-            r_st = jnp.einsum("rv,nr->nv", A_st, w_st)
-            return r_st + r_pl
+            return rmv_st(w[:, :R_s]) + r_pl
 
         def gram(d):
-            d_st = d[:, :R_s]
             d_pl = (d[:, R_s:].reshape(N, C, M, n1)) * scale * scale
-            H_st = jnp.einsum("rv,nr,rw->nvw", A_st, d_st, A_st)
             W = jnp.einsum("ncmi,ncmk,ncml->nklmi", d_pl, nsc, nsc)
             H_pl = jnp.einsum("nklmi,mif,mig->nkflg", W, F_seg, F_seg)
-            return H_st + H_pl.reshape(N, nv, nv)
+            return gram_st(d[:, :R_s]) + H_pl.reshape(N, nv, nv)
 
         return _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min)
 

@@ -319,6 +319,46 @@ class TrajOptimizer:
         Ay = np.einsum("rkp,pf->rkf", A_x, self.F)
         return Ay.reshape(A_x.shape[0], self.nv)
 
+    @cached_property
+    def static_blocked(self):
+        """Structured form of the static rows for the factored QP path.
+
+        Every static row (bound/velocity/acceleration) acts on exactly one
+        dimension block of nf variables, and rows come in adjacent +- pairs
+        sharing a row vector -- so A_st^T diag(d) A_st is block-diagonal
+        and needs only (3, Ru, nf) unique rows with paired d, a ~18x FLOP
+        cut over the dense (R_s, nv) Gram that dominated the IPM iteration
+        at production swarm sizes.
+
+        Returns (U (3, Ru, nf), row_perm (R_s,), inv_row_perm (R_s,)):
+        U[k, u] is the +row of pair u in dim k; row_perm groups the
+        original row order dim-major with pairs adjacent (+ then -).
+        """
+        A = self.A_static_y
+        nf = self.nf
+        R_s = A.shape[0]
+        # dim of each row from the row-template kinds (rows between
+        # stop-at-horizon-tied control points are identically zero in
+        # y-space, so the dim cannot be recovered from the matrix)
+        _, kinds = self.static_rows
+        dim_of = np.asarray([k for _kind, k, _m in kinds])
+        assert np.all(dim_of[0::2] == dim_of[1::2]), "pairs span dims"
+        assert all(np.allclose(A[2 * p], -A[2 * p + 1])
+                   for p in range(R_s // 2)), "rows are not +- pairs"
+        pair_perm = np.argsort(dim_of[0::2], kind="stable")
+        row_perm = np.empty(R_s, np.int64)
+        row_perm[0::2] = 2 * pair_perm
+        row_perm[1::2] = 2 * pair_perm + 1
+        inv_row_perm = np.argsort(row_perm)
+        counts = np.bincount(dim_of[0::2], minlength=self.dim)
+        assert np.all(counts == counts[0]), "unequal rows per dim"
+        Ru = int(counts[0])
+        U = np.zeros((self.dim, Ru, nf))
+        for k in range(self.dim):
+            rows = 2 * pair_perm[k * Ru:(k + 1) * Ru]
+            U[k] = A[rows][:, k * nf:(k + 1) * nf]
+        return U, row_perm, inv_row_perm
+
     def static_b(self, world_min, world_max, max_vel, max_acc, gx):
         """Per-agent rhs for the static rows.
 
@@ -464,7 +504,8 @@ class TrajOptimizer:
         if slack is None and dense_bytes > 48 * 2 ** 20:
             sol = qp_ops.solve_qp_lsc(
                 P, q, self.A_static_y, b_st, normal.astype(dtype), b_pl4,
-                mask_pl4, F_seg, y0=y_warm, iters=p.qp_iterations)
+                mask_pl4, F_seg, y0=y_warm, iters=p.qp_iterations,
+                static_blocks=self.static_blocked)
             return self._recover(sol, N, dtype, None, None, tmask,
                                  current_goal, gx)
 

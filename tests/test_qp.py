@@ -116,6 +116,68 @@ def test_pallas_cholesky_matches_jnp(rng):
                       np.triu_indices(n, 1)[1]] == 0.0)
 
 
+def test_blocked_static_gram_matches_generic(rng):
+    """solve_qp_lsc with static_blocks (block-diag +- pair Gram) must match
+    the generic static-row path on the production row structure."""
+    import os
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from lsc_planner_tpu.config import Param
+    from lsc_planner_tpu.planner.optimizer import TrajOptimizer
+
+    opt = TrajOptimizer(Param())
+    A_st = opt.A_static_y
+    nv, nf = opt.nv, opt.nf
+    N, C, M, n1 = 3, 4, opt.M, opt.n + 1
+
+    L = rng.normal(size=(N, nv, nv)) * 0.3
+    P = L @ np.swapaxes(L, -1, -2) + 2.0 * np.eye(nv)
+    q = rng.normal(size=(N, nv))
+    F_seg = opt.F_seg
+    b_st = rng.normal(size=(N, A_st.shape[0])) - 5.0
+    normal = rng.normal(size=(N, C, M, 3))
+    rhs = rng.normal(size=(N, C, M, n1)) - 3.0
+    mask = rng.uniform(size=(N, C, M, n1)) > 0.3
+
+    kw = dict(y0=None, iters=20)
+    generic = qp.solve_qp_lsc(
+        jnp.asarray(P), jnp.asarray(q), jnp.asarray(A_st),
+        jnp.asarray(b_st), jnp.asarray(normal), jnp.asarray(rhs),
+        jnp.asarray(mask), jnp.asarray(F_seg), **kw)
+    blocked = qp.solve_qp_lsc(
+        jnp.asarray(P), jnp.asarray(q), jnp.asarray(A_st),
+        jnp.asarray(b_st), jnp.asarray(normal), jnp.asarray(rhs),
+        jnp.asarray(mask), jnp.asarray(F_seg),
+        static_blocks=opt.static_blocked, **kw)
+    np.testing.assert_allclose(np.asarray(blocked.y),
+                               np.asarray(generic.y), rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(blocked.lam),
+                               np.asarray(generic.lam), rtol=1e-7,
+                               atol=1e-9)
+
+
+def test_pallas_factor_solve_matches_numpy(rng):
+    """Interpret-mode chol_factor_solve / chol_resolve vs numpy solves
+    (lanes-layout factor handle, padding via non-128-multiple batch)."""
+    import jax.numpy as jnp
+    from lsc_planner_tpu.ops.chol_pallas import (chol_factor_solve,
+                                                 chol_resolve)
+
+    B, n = 5, 13
+    Ls = rng.normal(size=(B, n, n)).astype(np.float32)
+    H = Ls @ np.swapaxes(Ls, -1, -2) + n * np.eye(n, dtype=np.float32)
+    r1 = rng.normal(size=(B, n)).astype(np.float32)
+    r2 = rng.normal(size=(B, n)).astype(np.float32)
+
+    L, x1 = chol_factor_solve(jnp.asarray(H), jnp.asarray(r1),
+                              interpret=True, block_b=8)
+    x2 = chol_resolve(L, jnp.asarray(r2), interpret=True, block_b=8)
+    assert L.shape == (n, n, 8)
+    want1 = np.linalg.solve(H, r1[..., None])[..., 0]
+    want2 = np.linalg.solve(H, r2[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(x1), want1, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(x2), want2, rtol=2e-3, atol=2e-4)
+
+
 def test_factored_lsc_matches_dense(rng):
     """solve_qp_lsc (factored plane rows) must agree with solve_qp on the
     equivalent dense row set: a_{c,m,i} = normal_{c,m} (x) F_seg[m,i,:]."""

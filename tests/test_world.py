@@ -202,6 +202,51 @@ def test_pallas_wavefront_matches_xla(rng):
     np.testing.assert_allclose(a, b)
 
 
+def test_exact_castray_matches_reference_recursion(esdf, rng):
+    """_ray_safe_bisect must reproduce the reference castRay recursion
+    (grid_based_planner.cpp:409-433) point for point on the forest map."""
+    from lsc_planner_tpu.ops.grid_search import GridPlanner
+    from lsc_planner_tpu.missions import make_circle_mission
+
+    p = Param(grid_los_exact_castray=True)
+    mission = make_circle_mission(4, radius=3.0,
+                                  world=(-5, -5, 0, 5, 5, 2.5))
+    gp = GridPlanner(mission, p, esdf=esdf, dtype=jnp.float64)
+
+    res = p.world_resolution
+    eps = SP_EPSILON_FLOAT
+
+    def castray_ref(a, b, margin):
+        d2g = np.linalg.norm(a - b)
+        thr = np.sqrt(0.25 * d2g * d2g + margin * margin)
+        ca = float(esdf.at_points(jnp.asarray(a)))
+        cb = float(esdf.at_points(jnp.asarray(b)))
+        if ca < margin + 0.5 * res - eps:
+            return False
+        if cb < margin + 0.5 * res - eps:
+            return False
+        if thr < 1.0 and ca > thr and cb > thr:
+            return True
+        mid = 0.5 * (a + b)
+        return castray_ref(a, mid, margin) and castray_ref(mid, b, margin)
+
+    N, P = 4, 7
+    origin = rng.uniform([-4, -4, 0.3], [4, 4, 2.0], size=(N, 3))
+    pts = rng.uniform([-4.5, -4.5, 0.2], [4.5, 4.5, 2.3], size=(N, P, 3))
+    radius = np.full(N, 0.15)
+    ratios = np.asarray([1.5, 1.4, 1.3, 1.2, 1.1, 1.0])
+
+    got = np.asarray(gp._ray_safe_bisect(
+        jnp.asarray(pts), jnp.asarray(origin), jnp.asarray(radius),
+        jnp.asarray(ratios)))
+    for i in range(N):
+        for r, ratio in enumerate(ratios):
+            for j in range(P):
+                want = castray_ref(origin[i], pts[i, j],
+                                   radius[i] * ratio)
+                assert got[i, r, j] == want, (i, r, j)
+
+
 class TestMapping:
     def test_bt_writer_roundtrip(self, rng, tmp_path):
         from lsc_planner_tpu.world import mapping, octomap_io
