@@ -25,6 +25,8 @@ BASELINE_AGENT_CYCLES_PER_S = 1.0 / 0.00947   # reference CPLEX single-core
 def bench_size(qn: int, cycles: int = 30, warmup: int = 3,
                max_neighbors: int = -1, fuse: int = 10):
     import jax
+    from lsc_planner_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from lsc_planner_tpu.config import Param, GoalMode
     from lsc_planner_tpu.missions import make_circle_mission

@@ -114,6 +114,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     import jax
+    from .runtime import enable_compilation_cache
+    enable_compilation_cache()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.dtype == "float64":

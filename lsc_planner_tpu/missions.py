@@ -310,6 +310,31 @@ def make_square_mission(qn: int, half: float = 4.0, z: float = 1.0,
                    agents=agents, mission_file_name=f"square{qn}")
 
 
+def make_lane_mission(qn: int, lane_gap: float = 2.0, length: float = 6.0,
+                      z: float = 1.0) -> Mission:
+    """Head-on pair swaps in parallel lanes: agents 2i / 2i+1 trade ends
+    of lane i (y = i * lane_gap).  Interactions are confined to a lane,
+    which makes this the locality benchmark for the ring-halo neighbour
+    exchange (parallel/shard.py)."""
+    assert qn % 2 == 0, "lane mission needs an even agent count"
+    lanes = qn // 2
+    agents = []
+    for qi in range(qn):
+        lane, side = divmod(qi, 2)
+        y = lane * lane_gap
+        x = (length / 2.0) * (1.0 if side == 0 else -1.0)
+        a = _default_agent()
+        a.id, a.cid = qi, qi + 1
+        a.start = np.array([x, y, z])
+        a.goal = np.array([-x, y, z])
+        agents.append(a)
+    m = length / 2.0 + 2.0
+    return Mission(
+        world_min=np.array([-m, -2.0, 0.0]),
+        world_max=np.array([m, (lanes - 1) * lane_gap + 2.0, 2.5]),
+        agents=agents, mission_file_name=f"lanes{qn}")
+
+
 def make_random_mission(qn: int, world: Sequence[float] = (-5, -5, 0, 5, 5, 2.5),
                         z: float = 1.0, min_dist: float = 0.7,
                         seed: int = 0) -> Mission:

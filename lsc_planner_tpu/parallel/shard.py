@@ -50,9 +50,41 @@ def state_specs() -> SwarmState:
                       rescue_phase=sharded)
 
 
-def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
+def _ring_halo(x, halo: int, n_dev: int):
+    """Gather the (2*halo+1)-shard neighbourhood of a per-shard block via
+    lax.ppermute ring steps: offset-ordered blocks [-halo..halo].
+
+    This is the CP/ring analog from SURVEY.md section 5.7: with the swarm
+    kept spatially sorted (see `spatial_sort_state`), agents outside the
+    halo window cannot enter the LSC interaction ball within a horizon,
+    so a band exchange over neighbouring shards replaces the O(N)
+    all_gather AND bounds the downstream K-NN distance matrix at
+    (L, (2*halo+1)*L) instead of (L, N).
+    """
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]   # recv from left
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]   # recv from right
+    left, right = {}, {}
+    xl = xr = x
+    for h in range(1, halo + 1):
+        xl = jax.lax.ppermute(xl, AGENT_AXIS, fwd)       # block of shard-h
+        xr = jax.lax.ppermute(xr, AGENT_AXIS, bwd)       # block of shard+h
+        left[h], right[h] = xl, xr
+    blocks = [left[h] for h in range(halo, 0, -1)] + [x] + \
+        [right[h] for h in range(1, halo + 1)]
+    return jnp.concatenate(blocks, axis=0)
+
+
+def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
+                       halo_shards: Optional[int] = None):
     """Build the jitted multi-chip cycle: state sharded over the agent
-    axis; one all_gather per cycle for the trajectory exchange."""
+    axis; one all_gather per cycle for the trajectory exchange.
+
+    halo_shards = H switches the exchange from the full all_gather to a
+    ring-halo of the 2H+1 neighbouring shards (ppermute over ICI/DCN).
+    Requires 2H+1 <= mesh size, spatially sorted agent order (re-sort
+    with `spatial_sort_state` between cycles as the swarm moves), and a
+    homogeneous swarm (uniform radius/downwash/limits) since sorting
+    permutes rows; the exact safety audit stays global either way."""
     p = sim.param
     N = sim.N
     n_dev = mesh.devices.size
@@ -60,6 +92,17 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
         raise ValueError(f"agent count {N} must be divisible by the mesh "
                          f"size {n_dev} (pad the mission)")
     L = N // n_dev
+    if halo_shards is not None:
+        if 2 * halo_shards + 1 > n_dev:
+            raise ValueError("halo window exceeds the mesh "
+                             f"(2*{halo_shards}+1 > {n_dev})")
+        for arr in (sim.radius, sim.downwash, sim.nominal_velocity,
+                    sim.max_vel, sim.max_acc):
+            a = np.asarray(arr)
+            if not np.allclose(a, a[:1]):
+                raise ValueError("ring-halo exchange requires a "
+                                 "homogeneous swarm (spatial sorting "
+                                 "permutes agent rows)")
 
     specs = state_specs()
 
@@ -84,13 +127,33 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
                                               state.seq)
 
         # --- the communication step: neighbour trajectory exchange ---
-        pred_g = jax.lax.all_gather(pred_l, AGENT_AXIS, tiled=True)
-        pos_g = jax.lax.all_gather(pos_l, AGENT_AXIS, tiled=True)
-        prev_g = jax.lax.all_gather(state.traj, AGENT_AXIS, tiled=True)
-        goal_g = jax.lax.all_gather(state.desired_goal, AGENT_AXIS,
-                                    tiled=True)
-
-        self_mask = my_ids[:, None] == jnp.arange(N)[None, :]
+        obs_attrs = {}
+        if halo_shards is None:
+            pred_g = jax.lax.all_gather(pred_l, AGENT_AXIS, tiled=True)
+            pos_g = jax.lax.all_gather(pos_l, AGENT_AXIS, tiled=True)
+            prev_g = jax.lax.all_gather(state.traj, AGENT_AXIS, tiled=True)
+            goal_g = jax.lax.all_gather(state.desired_goal, AGENT_AXIS,
+                                        tiled=True)
+            self_mask = my_ids[:, None] == jnp.arange(N)[None, :]
+        else:
+            H = halo_shards
+            pred_g = _ring_halo(pred_l, H, n_dev)
+            pos_g = _ring_halo(pos_l, H, n_dev)
+            prev_g = _ring_halo(state.traj, H, n_dev)
+            goal_g = _ring_halo(state.desired_goal, H, n_dev)
+            V = (2 * H + 1) * L
+            # self block sits at offset index H in the view
+            col = jnp.arange(V)
+            self_mask = ((col[None, :] // L == H) &
+                         (col[None, :] % L == jnp.arange(L)[:, None]))
+            # homogeneous swarm (checked above): view attributes are
+            # uniform regardless of the sorted order
+            obs_attrs = dict(
+                obs_radius_global=jnp.broadcast_to(sim.radius[:1], (V,)),
+                obs_downwash_global=jnp.broadcast_to(sim.downwash[:1],
+                                                     (V,)),
+                obs_maxacc_global=jnp.broadcast_to(sim.max_acc[:1, 0],
+                                                   (V,)))
 
         sfc_initialize = ~state.sfc_initialized
         sfc_seed = jnp.where(sfc_initialize[:, None], pos_l,
@@ -107,7 +170,7 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
             desired_goal=state.desired_goal,
             sfc_prev=state.sfc, sfc_initialize=sfc_initialize,
             sfc_seed=sfc_seed, rescue_goal=rescue_goal,
-            rescue_active=rescue_active)
+            rescue_active=rescue_active, **obs_attrs)
 
         # --- audit on gathered sampled positions (replicated scalar) ---
         ts = audit._sample_times(p.multisim_record_time_step,
@@ -145,6 +208,53 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh):
                                              primal_res=P(AGENT_AXIS))),
                         check_vma=False)
     return jax.jit(sharded)
+
+
+def _part1by2(x):
+    """Spread the low 10 bits of x two apart (Morton interleave helper)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def morton_codes(pos, world_min, world_max):
+    """30-bit Morton (Z-order) codes of positions over the world bbox."""
+    span = jnp.maximum(jnp.asarray(world_max) - jnp.asarray(world_min),
+                       1e-9)
+    q = jnp.clip((pos - jnp.asarray(world_min)) / span, 0.0, 1.0) * 1023.0
+    q = q.astype(jnp.uint32)
+    return (_part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << 1) |
+            (_part1by2(q[:, 2]) << 2))
+
+
+def spatial_sort_state(state: SwarmState, world_min, world_max,
+                       key: str = "morton") -> SwarmState:
+    """Reorder the swarm spatially so shard-adjacency tracks spatial
+    adjacency for the ring-halo exchange of
+    `make_sharded_cycle(..., halo_shards=H)`.
+
+    key = "morton": Z-order curve of positions -- good for roughly
+    isotropic swarms, but any 1-D curve has boundary artifacts (two close
+    points can straddle a high-bit boundary and sort far apart).
+    key = "axis:k": plain sort along coordinate k -- exact adjacency for
+    swarms elongated along one axis (corridor / lane missions), where the
+    window bound is simply the halo span along that axis.
+
+    All per-agent state (goals, SFC, deadlock bookkeeping) travels with
+    its agent; requires a homogeneous swarm (the simulator's per-agent
+    attribute arrays are not permuted).  Re-apply every few cycles as the
+    swarm moves; jit-able (lowers to an all-to-all on a sharded state).
+    """
+    if key.startswith("axis:"):
+        perm = jnp.argsort(state.pos[:, int(key.split(":")[1])])
+    else:
+        perm = jnp.argsort(morton_codes(state.pos, world_min, world_max))
+    specs = state_specs()
+    return jax.tree.map(
+        lambda x, s: x[perm] if s == P(AGENT_AXIS) else x, state, specs)
 
 
 def shard_state(state: SwarmState, mesh: Mesh) -> SwarmState:

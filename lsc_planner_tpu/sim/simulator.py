@@ -362,20 +362,32 @@ class SyncSimulator:
                    radius, downwash, nominal_velocity, max_vel, max_acc,
                    desired_goal, sfc_prev=None, sfc_initialize=None,
                    sfc_seed=None, y_warm=None, dyn_pos=None, dyn_vel=None,
-                   dyn_pred=None, rescue_goal=None, rescue_active=None):
+                   dyn_pred=None, rescue_goal=None, rescue_active=None,
+                   obs_radius_global=None, obs_downwash_global=None,
+                   obs_maxacc_global=None):
         """Plan one block of agents (L, ...) against the global obstacle
-        view (N_total, ...).  Returns (QPResult, current_goal, sfc)."""
+        view (N_total, ...).  Returns (QPResult, current_goal, sfc).
+
+        obs_*_global override the default all-agent attribute arrays when
+        the obstacle view is not the identity-ordered full swarm (e.g.
+        the ring-halo view in parallel/shard.py)."""
         p = self.param
         L = pos.shape[0]
         O = pred_global.shape[0]
         M, n = self.M, self.n
+        obs_radius_all = (self.radius if obs_radius_global is None
+                          else obs_radius_global)
+        obs_downwash_all = (self.downwash if obs_downwash_global is None
+                            else obs_downwash_global)
+        obs_maxacc_all = (self.max_acc[:, 0] if obs_maxacc_global is None
+                          else obs_maxacc_global)
 
         current_goal = self.goal_planner.plan(
             pos=pos, vel=vel, init_traj=init, desired_goal=desired_goal,
             seq=seq, radius=radius, downwash=downwash,
             obs_pos=obs_pos_global, obs_goal=obs_goal_global,
             obs_prev_traj=obs_prev_global, self_mask=self_mask,
-            obs_radius=self.radius, obs_downwash=self.downwash)
+            obs_radius=obs_radius_all, obs_downwash=obs_downwash_all)
         if rescue_goal is not None and rescue_active is not None:
             # latched deadlock-escape waypoint replaces the subgoal while
             # active (see _update_rescue)
@@ -395,18 +407,18 @@ class SyncSimulator:
             obs_pred = pred_global[nbr]                        # (L,K,M,n+1,3)
             obs_is_agent = jnp.ones((L, K), bool)
             obs_mask = jnp.ones((L, K), bool)
-            obs_radius = self.radius[nbr]
-            obs_downwash = self.downwash[nbr]
-            obs_max_acc = self.max_acc[nbr][..., 0]
+            obs_radius = obs_radius_all[nbr]
+            obs_downwash = obs_downwash_all[nbr]
+            obs_max_acc = obs_maxacc_all[nbr]
         else:
             obs_pred = jnp.broadcast_to(pred_global[None],
                                         (L, O, M, n + 1, 3))
             obs_is_agent = jnp.ones((L, O), bool)
             obs_mask = ~self_mask
-            obs_radius = jnp.broadcast_to(self.radius[None, :], (L, O))
-            obs_downwash = jnp.broadcast_to(self.downwash[None, :], (L, O))
-            obs_max_acc = jnp.broadcast_to(self.max_acc[None, :, 0],
-                                           (L, O))
+            obs_radius = jnp.broadcast_to(obs_radius_all[None, :], (L, O))
+            obs_downwash = jnp.broadcast_to(obs_downwash_all[None, :],
+                                            (L, O))
+            obs_max_acc = jnp.broadcast_to(obs_maxacc_all[None, :], (L, O))
 
         # --- append mission dynamic obstacles (constant-velocity
         #     prediction for non-agents, traj_planner.cpp:838-847;
