@@ -64,15 +64,21 @@ def _solve_subsets(points, subs, feas_tol: float = 1e-7):
     memory blowup); both dominated the swarm-scale profile.
     """
     S, k = subs.shape
+    K = points.shape[-2]
     batch_shape = points.shape[:-2]
-    flat = int(np.prod(batch_shape)) * S if batch_shape else S
 
-    # per-(subset-slot, dim) flat component vectors
+    # per-(subset-slot, dim) flat component vectors, selected with static
+    # 0/1 matrices: a (..., K) x (K, S) contraction instead of a gather
+    # (TPU gathers at swarm-scale batch sizes dominated the LSC profile)
     comp = []                                        # comp[j][d]: (flat,)
     pts_d = [points[..., d] for d in range(3)]       # (..., K) each
     for j in range(k):
-        idx = jnp.asarray(subs[:, j])
-        comp.append([pts_d[d][..., idx].reshape(-1) for d in range(3)])
+        sel = np.zeros((K, S), points.dtype)
+        sel[subs[:, j], np.arange(S)] = 1.0
+        sel = jnp.asarray(sel)
+        comp.append([
+            jnp.einsum("...k,ks->...s", pts_d[d], sel).reshape(-1)
+            for d in range(3)])
 
     # Gram entries (upper triangle)
     G = [[None] * k for _ in range(k)]
@@ -151,7 +157,7 @@ def _closest_point_enum(points, max_support):
     K = points.shape[-2]
     cands, d2s, feas = [], [], []
     for k in range(1, min(K, max_support) + 1):
-        subs = jnp.asarray(_subsets(K, k))
+        subs = _subsets(K, k)          # static numpy indices
         c, d2, f = _solve_subsets(points, subs)
         cands.append(c)
         d2s.append(d2)
@@ -160,11 +166,20 @@ def _closest_point_enum(points, max_support):
     d2 = jnp.concatenate(d2s, axis=-1)               # (..., T)
     feas = jnp.concatenate(feas, axis=-1)
     d2 = jnp.where(feas, d2, jnp.inf)
-    best = jnp.argmin(d2, axis=-1)
-    closest = jnp.take_along_axis(cand, best[..., None, None].repeat(3, -1),
-                                  axis=-2)[..., 0, :]
-    dist = jnp.sqrt(jnp.take_along_axis(d2, best[..., None], axis=-1)
-                    )[..., 0]
+    # degenerate subsets can carry inf/NaN coordinates; the masked-sum
+    # selection below multiplies EVERY candidate by its 0/1 weight, so
+    # non-finite losers must be zeroed (0 * inf = NaN)
+    cand = jnp.where(jnp.isfinite(cand), cand, 0.0)
+    # argmin selection as a masked sum (first-minimum one-hot) rather
+    # than take_along_axis: gathers at swarm-scale batches are slow on
+    # TPU, elementwise select + reduce fuses for free
+    d2_min = jnp.min(d2, axis=-1, keepdims=True)
+    is_min = d2 <= d2_min
+    first = jnp.cumsum(is_min.astype(d2.dtype), axis=-1) * \
+        is_min.astype(d2.dtype)
+    onehot = (first == 1.0).astype(cand.dtype)
+    closest = jnp.einsum("...t,...td->...d", onehot, cand)
+    dist = jnp.sqrt(d2_min[..., 0])
     return closest, dist
 
 

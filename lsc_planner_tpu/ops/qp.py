@@ -300,18 +300,18 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
             w_pair = w_p[..., 0] - w_p[..., 1]
             return jnp.einsum("kuf,nku->nkf", U, w_pair).reshape(N, nv)
 
-        def gram_st(d_st):
-            if static_blocks is None:
-                return jnp.einsum("rv,nr,rw->nvw", A_st, d_st, A_st)
+        # static (M*n1, nf*nf) outer-product basis: turns the plane Gram
+        # into ONE (9, M*n1) x (M*n1, nf*nf) MXU matmul per agent instead
+        # of a 3-operand contraction XLA may order badly
+        FF = jnp.einsum("mif,mig->mifg", F_seg, F_seg)
+        eye3 = jnp.eye(3, dtype=dtype)
+
+        def gram_st_blocks(d_st):
+            """(N, ndim, nf, nf) diagonal blocks of the static-row Gram
+            (blocked path only)."""
             d_p = d_st[:, row_perm].reshape(N, ndim, Ru, 2)
             d_pair = d_p[..., 0] + d_p[..., 1]              # (N, k, Ru)
-            H_blk = jnp.einsum("kuf,nku,kug->nkfg", U, d_pair, U)
-            # scatter the 3 diagonal blocks into (N, nv, nv)
-            H = jnp.zeros((N, nv, nv), dtype)
-            for k in range(ndim):
-                H = H.at[:, k * nf:(k + 1) * nf,
-                         k * nf:(k + 1) * nf].set(H_blk[:, k])
-            return H
+            return jnp.einsum("kuf,nku,kug->nkfg", U, d_pair, U)
 
         def mv(y):
             y3 = y.reshape(N, 3, nf)
@@ -328,8 +328,16 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
         def gram(d):
             d_pl = (d[:, R_s:].reshape(N, C, M, n1)) * scale * scale
             W = jnp.einsum("ncmi,ncmk,ncml->nklmi", d_pl, nsc, nsc)
-            H_pl = jnp.einsum("nklmi,mif,mig->nkflg", W, F_seg, F_seg)
-            return gram_st(d[:, :R_s]) + H_pl.reshape(N, nv, nv)
+            H_pl = jnp.einsum("nklmi,mifg->nkflg", W, FF)
+            if static_blocks is None:
+                H_st = jnp.einsum("rv,nr,rw->nvw", A_st, d[:, :R_s],
+                                  A_st)
+                return H_st + H_pl.reshape(N, nv, nv)
+            # fold the block-diagonal static Gram into the plane Gram
+            # without materializing a scattered (N, nv, nv) buffer
+            H_blk = gram_st_blocks(d[:, :R_s])
+            H_pl = H_pl + jnp.einsum("nkfg,kl->nkflg", H_blk, eye3)
+            return H_pl.reshape(N, nv, nv)
 
         return _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min)
 
