@@ -404,7 +404,19 @@ class SyncSimulator:
                          axis=-1)
             d2 = jnp.where(self_mask, jnp.inf, d2)
             _, nbr = jax.lax.top_k(-d2, K)                     # (L, K)
-            obs_pred = pred_global[nbr]                        # (L,K,M,n+1,3)
+            # one-hot matmul instead of a data-dependent gather: TPU
+            # gathers of (L, K) trajectory rows are slower than an
+            # (L*K, O) x (O, M(n+1)3) selection matmul on the MXU.
+            # Above ~512 MB of selection matrix the materialized one-hot
+            # stops paying for itself; fall back to the gather there.
+            if L * K * O * 4 <= 512 * 2 ** 20:
+                onehot = jax.nn.one_hot(nbr, O, dtype=pred_global.dtype)
+                obs_pred = jnp.einsum(
+                    "lko,of->lkf", onehot, pred_global.reshape(O, -1),
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape((L, K) + pred_global.shape[1:])      # (L,K,M,n+1,3)
+            else:
+                obs_pred = pred_global[nbr]
             obs_is_agent = jnp.ones((L, K), bool)
             obs_mask = jnp.ones((L, K), bool)
             obs_radius = obs_radius_all[nbr]
