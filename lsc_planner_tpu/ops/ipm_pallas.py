@@ -1,0 +1,393 @@
+"""Fully fused Pallas IPM: the whole Mehrotra predictor-corrector solve
+(all iterations) in ONE kernel launch, batch-in-lanes, VMEM-resident.
+
+The XLA formulation of the factored-row IPM (ops/qp.py solve_qp_lsc)
+streams the (N, nr~1554) slack/dual/bound vectors and the (N, 39, 39) KKT
+matrices through HBM a dozen times per iteration -- ~0.95 ms/iteration at
+1024 agents, ~65% of the whole planning cycle.  Here one pallas_call per
+128-agent lane tile keeps every iterate (y, s, lam), every row tensor
+(normals, scales, bounds), and the KKT factor in VMEM across ALL
+iterations; the only HBM traffic is one read of the problem and one write
+of the solution.  All arithmetic is exact f32 VPU/MXU ops (better than
+XLA's bf16x6 'highest' emulation of f32 matmuls).
+
+Row structure (see planner/optimizer.py):
+ * static rows (world bounds / vel / acc): +- pairs sharing a row vector
+   that lives in ONE dimension block -- U (ndim, Ru, nf) unique rows;
+   duals/slacks kept as separate +/- buffers; their Gram is
+   sum_u d_u u u^T = UU @ d with the STATIC (nf^2, Ru) table UU.
+ * plane rows (LSC/SFC): a_{c,m,i} = scale_{c,m,i} * n_{c,m} (x) F[m,i];
+   their Gram contracts through the STATIC (M(n+1), nf^2) table FF.
+
+Reference analog: TrajOptimizer::solve / CPLEX dual simplex
+(src/traj_optimizer.cpp:31-154), one 10-thread QP at a time.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _rowmin(x):
+    """Min over all leading axes, keeping the lane axis: (..., B) -> (B,)."""
+    return jnp.min(x.reshape(-1, x.shape[-1]), axis=0)
+
+
+def _rowsum(x):
+    return jnp.sum(x.reshape(-1, x.shape[-1]), axis=0)
+
+
+def _step_len(v, dv, tau=0.995):
+    """Largest alpha in (0,1] with v + alpha dv >= (1-tau) v, per lane.
+    v/dv: lists of (..., B) buffers."""
+    alpha = None
+    for vi, dvi in zip(v, dv):
+        ratio = jnp.where(dvi < 0.0, -vi / jnp.where(dvi < 0.0, dvi, -1.0),
+                          jnp.inf)
+        m = _rowmin(ratio)
+        alpha = m if alpha is None else jnp.minimum(alpha, m)
+    return jnp.minimum(1.0, tau * alpha)
+
+
+def _chol_into(l_ref, H, n):
+    """Lower Cholesky of H (n, n, B): columns written into the VMEM
+    scratch l_ref (building L as a value via per-step jnp.where costs a
+    full (n, n, B) pass per column -- as much as the Schur updates
+    themselves)."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    A = H
+    for k in range(n):
+        dk = A[k, k][None, :]
+        inv = jax.lax.rsqrt(dk)
+        col = A[:, k, :] * inv
+        col = jnp.where(ri >= k, col, 0.0)
+        l_ref[:, k, :] = col
+        A = A - col[:, None, :] * col[None, :, :]
+
+
+def _solve_lanes(l_ref, rhs, n):
+    """(L L^T) x = rhs with the factor in scratch l_ref; rhs (n, B)."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    z = rhs
+    for k in range(n):
+        zk = z[k] / l_ref[k, k]
+        upd = z - l_ref[:, k, :] * zk[None, :]
+        z = jnp.where(ri == k, zk[None, :], jnp.where(ri > k, upd, z))
+    x = z
+    for k in range(n - 1, -1, -1):
+        xk = x[k] / l_ref[k, k]
+        upd = x - l_ref[k, :, :] * xk[None, :]
+        x = jnp.where(ri == k, xk[None, :], jnp.where(ri < k, upd, x))
+    return x
+
+
+def _mm(a, b):
+    """2-D (r, k) @ (k, B) -> (r, B), exact f32."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
+                scale_ref, bpl_ref, Fseg_ref, FF_ref,
+                y_ref, lam_s_ref, lam_p_ref, gap_ref, l_scr,
+                *, iters: int, ndim: int, nf: int, Ru: int, C: int,
+                M: int, n1: int, reg: float, s_min: float):
+    """One lane tile (B agents in lanes) of the full IPM solve.
+
+    Tile shapes (B = lanes).  All plane-row buffers are FLAT 2-D
+    (C*M*n1, B): higher-rank layouts decompose every elementwise pass
+    into per-leading-index micro-ops with 25% sublane padding, which
+    dominated the first version of this kernel.
+      Pb    (nf, nf, B)          shared per-dim cost block
+      q, y0 (ndim*nf, B)
+      U     (ndim, Ru, nf)       unique static +rows (pre-scaled), shared
+      UU    (ndim, nf*nf, Ru)    static-row Gram table, shared
+      bs    (2, ndim*Ru, B)      static bounds, [0]=+rows, [1]=-rows
+      nsc   (ndim, C*M*n1, B)    plane normals, pre-expanded over i
+      scale (C*M*n1, B)          plane row scales (0 = masked)
+      bpl   (C*M*n1, B)          plane bounds (-1 = masked)
+      Fseg  (M*n1, nf)           segment basis rows, shared
+      FF    (M*n1, nf*nf)        plane Gram table, shared
+    Outputs: y (ndim*nf, B); lam_s (2, ndim*Ru, B); lam_p (C*M*n1, B);
+      gap (1, B).
+    """
+    nv = ndim * nf
+    MI = M * n1
+    R = C * MI
+
+    Pb = Pb_ref[:]
+    q = q_ref[:]
+    U = U_ref[:]
+    UU = UU_ref[:]
+    bs = bs_ref[:]
+    nsc = nsc_ref[:]          # (ndim, R, B)
+    scale = scale_ref[:]      # (R, B)
+    bpl = bpl_ref[:]
+    Fseg = Fseg_ref[:]
+    FF = FF_ref[:]
+    B = q.shape[-1]
+
+    # scale folded into the normals once: plane row values become plain
+    # 2-D FMAs against the tiled x
+    nscs = [nsc[k] * scale for k in range(ndim)]          # (R, B) each
+
+    def tile_c(x):
+        """(MI, B) -> (C*MI, B) by repeating over the obstacle axis."""
+        return jnp.broadcast_to(x.reshape(1, MI, B),
+                                (C, MI, B)).reshape(R, B)
+
+    def red_c(x):
+        """(C*MI, B) -> (MI, B): sum over the obstacle axis.  The input
+        stays 2-D until this one splitting reshape (Mosaic rejects 1-D
+        intermediates, so reduce the (C, MI, B) view directly)."""
+        return jnp.sum(x.reshape(C, MI, B), axis=0)
+
+    def mv(y):
+        """A y -> (su (ndim*Ru, B) +row values, pl (R, B))."""
+        y3 = y.reshape(ndim, nf, B)
+        su = jnp.concatenate([_mm(U[k], y3[k]) for k in range(ndim)],
+                             axis=0)
+        pl = None
+        for k in range(ndim):
+            xk = tile_c(_mm(Fseg, y3[k]))                # (R, B)
+            term = nscs[k] * xk
+            pl = term if pl is None else pl + term
+        return su, pl
+
+    def rmv(w_su, w_pl):
+        """A^T w; w_su = combined (+duals - -duals) of static rows."""
+        w3 = w_su.reshape(ndim, Ru, B)
+        parts = []
+        for k in range(ndim):
+            r_st = jax.lax.dot_general(
+                U[k], w3[k], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (nf, B)
+            vk = red_c(nscs[k] * w_pl)                   # (MI, B)
+            r_pl = jax.lax.dot_general(
+                Fseg, vk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (nf, B)
+            parts.append(r_st + r_pl)
+        return jnp.concatenate(parts, axis=0)            # (nv, B)
+
+    def gram(d_su, d_pl):
+        """H = P + A^T D A as (nv, nv, B)."""
+        d3 = d_su.reshape(ndim, Ru, B)
+        blocks = [[None] * ndim for _ in range(ndim)]
+        for k in range(ndim):
+            for li in range(k, ndim):
+                W = red_c(nscs[k] * nscs[li] * d_pl)     # (MI, B)
+                Hkl = _mm(FF.T, W).reshape(nf, nf, B)
+                if li == k:
+                    Hst = _mm(UU[k], d3[k]).reshape(nf, nf, B)
+                    Hkl = Hkl + Hst + Pb
+                blocks[k][li] = Hkl
+                if li != k:
+                    blocks[li][k] = jnp.swapaxes(Hkl, 0, 1)
+        rows = [jnp.concatenate(blocks[k], axis=1) for k in range(ndim)]
+        return jnp.concatenate(rows, axis=0)             # (nv, nv, B)
+
+    # ------------------------------------------------------------------
+    y = y0_ref[:]
+    su0, pl0 = mv(y)
+    s_sp = jnp.maximum(su0 - bs[0], s_min)
+    s_sm = jnp.maximum(-su0 - bs[1], s_min)
+    s_pl = jnp.maximum(pl0 - bpl, s_min)
+    l_sp = jnp.ones_like(s_sp)
+    l_sm = jnp.ones_like(s_sm)
+    l_pl = jnp.ones_like(s_pl)
+    nr = 2 * ndim * Ru + C * MI
+    di = jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 0) == \
+        jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 1)
+
+    def Py(y):
+        """P y with the lane-varying (nf, nf, B) block: broadcast-reduce
+        (nf is tiny; a batched matmul would transpose through lanes)."""
+        y3 = y.reshape(ndim, nf, B)
+        return jnp.concatenate(
+            [jnp.sum(Pb * y3[k][:, None, :], axis=0) for k in range(ndim)],
+            axis=0)
+
+    def iteration(_, carry):
+        y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl = carry
+        su, plv = mv(y)
+        r_d = Py(y) + q - rmv(l_sp - l_sm, l_pl)
+        rp_sp = su - s_sp - bs[0]
+        rp_sm = -su - s_sm - bs[1]
+        rp_pl = plv - s_pl - bpl
+        mu = (_rowsum(s_sp * l_sp) + _rowsum(s_sm * l_sm) +
+              _rowsum(s_pl * l_pl)) / nr
+
+        H = gram(l_sp / s_sp + l_sm / s_sm, l_pl / s_pl)
+        diag = jnp.concatenate([H[i, i][None] for i in range(nv)], axis=0)
+        ridge = reg * jnp.maximum(_rowsum(diag) / nv, 1.0)   # (B,)
+        dsc = jax.lax.rsqrt(diag + ridge[None, :])           # (nv, B)
+        Hs = H * dsc[:, None, :] * dsc[None, :, :]
+        Hs = jnp.where(di, 1.0, Hs)       # exact unit diagonal (w/ ridge)
+        _chol_into(l_scr, Hs, nv)
+
+        def kkt(rc_sp, rc_sm, rc_pl):
+            w_su = (rc_sp + l_sp * rp_sp) / s_sp - \
+                (rc_sm + l_sm * rp_sm) / s_sm
+            w_pl = (rc_pl + l_pl * rp_pl) / s_pl
+            rhs = -r_d - rmv(w_su, w_pl)
+            dy = dsc * _solve_lanes(l_scr, dsc * rhs, nv)
+            dsu, dpl = mv(dy)
+            ds_sp = dsu + rp_sp
+            ds_sm = -dsu + rp_sm
+            ds_pl = dpl + rp_pl
+            dl_sp = -(rc_sp + l_sp * ds_sp) / s_sp
+            dl_sm = -(rc_sm + l_sm * ds_sm) / s_sm
+            dl_pl = -(rc_pl + l_pl * ds_pl) / s_pl
+            return dy, (ds_sp, ds_sm, ds_pl), (dl_sp, dl_sm, dl_pl)
+
+        # predictor (affine scaling)
+        rc_sp, rc_sm, rc_pl = s_sp * l_sp, s_sm * l_sm, s_pl * l_pl
+        dy_a, ds_a, dl_a = kkt(rc_sp, rc_sm, rc_pl)
+        a_p = _step_len([s_sp, s_sm, s_pl], list(ds_a))
+        a_d = _step_len([l_sp, l_sm, l_pl], list(dl_a))
+        mu_aff = (
+            _rowsum((s_sp + a_p * ds_a[0]) * (l_sp + a_d * dl_a[0])) +
+            _rowsum((s_sm + a_p * ds_a[1]) * (l_sm + a_d * dl_a[1])) +
+            _rowsum((s_pl + a_p * ds_a[2]) * (l_pl + a_d * dl_a[2]))) / nr
+        sigma = (mu_aff / jnp.maximum(mu, 1e-30)) ** 3
+        sm = sigma * mu
+
+        # corrector
+        dy, ds, dl = kkt(rc_sp + ds_a[0] * dl_a[0] - sm[None, :],
+                         rc_sm + ds_a[1] * dl_a[1] - sm[None, :],
+                         rc_pl + ds_a[2] * dl_a[2] - sm[None, :])
+        a_p = _step_len([s_sp, s_sm, s_pl], list(ds))
+        a_d = _step_len([l_sp, l_sm, l_pl], list(dl))
+        y_n = y + a_p[None, :] * dy
+        s_sp_n = jnp.maximum(s_sp + a_p * ds[0], 1e-12)
+        s_sm_n = jnp.maximum(s_sm + a_p * ds[1], 1e-12)
+        s_pl_n = jnp.maximum(s_pl + a_p[None] * ds[2], 1e-12)
+        l_sp_n = jnp.maximum(l_sp + a_d * dl[0], 1e-12)
+        l_sm_n = jnp.maximum(l_sm + a_d * dl[1], 1e-12)
+        l_pl_n = jnp.maximum(l_pl + a_d[None] * dl[2], 1e-12)
+        # NaN guard: a lane whose factorization degenerates holds its
+        # previous (warm-started, feasible) iterate.  A degenerate step
+        # surfaces in dy (hence y_n) or the step lengths; full-buffer
+        # isfinite sweeps over s/lam would cost ~9M VPU ops per tile.
+        ok = (_rowsum(jnp.where(jnp.isfinite(y_n), 0.0, 1.0)) == 0.0) & \
+            jnp.isfinite(a_p) & jnp.isfinite(a_d) & \
+            jnp.isfinite(mu_aff) & jnp.isfinite(sigma)
+
+        def sel(a, b):
+            shape = (1,) * (a.ndim - 1) + (B,)
+            return jnp.where(ok.reshape(shape), a, b)
+
+        return (sel(y_n, y), sel(s_sp_n, s_sp), sel(s_sm_n, s_sm),
+                sel(s_pl_n, s_pl), sel(l_sp_n, l_sp), sel(l_sm_n, l_sm),
+                sel(l_pl_n, l_pl))
+
+    carry = (y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl)
+    carry = jax.lax.fori_loop(0, iters, iteration, carry)
+    y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl = carry
+
+    y_ref[:] = y
+    lam_s_ref[0] = l_sp
+    lam_s_ref[1] = l_sm
+    lam_p_ref[:] = l_pl
+    gap_ref[:] = ((_rowsum(s_sp * l_sp) + _rowsum(s_sm * l_sm) +
+                   _rowsum(s_pl * l_pl)) / nr)[None, :]
+
+
+@partial(jax.jit, static_argnames=("iters", "reg", "s_min", "interpret",
+                                   "block_b"))
+def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
+                  iters: int = 14, reg: float = 1e-8, s_min: float = 1.0,
+                  interpret: bool = False, block_b: int = 128):
+    """Solve the whole swarm's LSC QPs in one fused Pallas launch.
+
+    P_blk (N, nf, nf); q/y0 (N, nv); U (ndim, Ru, nf) pre-scaled unique
+    static rows; b_pairs (N, 2, ndim*Ru) [+rows, -rows] scaled bounds;
+    nsc (N, C, M, 3) normals; scale (N, C, M, n1) row scales
+    (0 = masked); b_pl (N, C, M, n1) scaled bounds (-1 = masked); F_seg
+    (M, n1, nf).
+
+    Returns (y (N, nv), lam_static (N, 2, ndim*Ru), lam_planes
+    (N, C*M*n1) c-major, gap (N,)).
+    """
+    N, nf = P_blk.shape[0], P_blk.shape[-1]
+    ndim, Ru = U.shape[0], U.shape[1]
+    C, M, n1 = nsc.shape[1], nsc.shape[2], scale.shape[-1]
+    nv = ndim * nf
+    MI = M * n1
+    f32 = jnp.float32
+
+    Np = max(((N + block_b - 1) // block_b) * block_b, block_b)
+
+    def lanes(x, shape, pad=0.0):
+        x = jnp.moveaxis(x.reshape((N,) + shape).astype(f32), 0, -1)
+        if Np != N:
+            x = jnp.concatenate(
+                [x, jnp.full(shape + (Np - N,), pad, f32)], axis=-1)
+        return x
+
+    Pb_l = lanes(P_blk, (nf, nf))
+    if Np != N:
+        pad_eye = jnp.broadcast_to(jnp.eye(nf, dtype=f32)[..., None],
+                                   (nf, nf, Np - N))
+        Pb_l = Pb_l.at[..., N:].add(pad_eye)
+    q_l = lanes(q, (nv,))
+    y0_l = lanes(y0, (nv,))
+    bs_l = lanes(b_pairs, (2, ndim * Ru), pad=-1.0)
+    # normals dimension-major and pre-expanded over the control-point
+    # index: (ndim, C*M*n1, B) rows in (c, m, i) c-major order
+    nsc_e = jnp.repeat(
+        jnp.moveaxis(nsc.astype(f32), 3, 1)[..., None], n1, axis=-1)
+    nsc_l = lanes(nsc_e.reshape(N, 3, C * MI), (3, C * MI))
+    scale_l = lanes(scale, (C * MI,))
+    bpl_l = lanes(b_pl, (C * MI,), pad=-1.0)
+
+    Fseg2 = jnp.asarray(F_seg, f32).reshape(MI, nf)
+    FF2 = (Fseg2[:, :, None] * Fseg2[:, None, :]).reshape(MI, nf * nf)
+    U_j = jnp.asarray(U, f32)
+    UU = (U_j[:, :, :, None] * U_j[:, :, None, :]).reshape(
+        ndim, Ru, nf * nf)
+    UU = jnp.swapaxes(UU, 1, 2)                       # (ndim, nf*nf, Ru)
+
+    grid = (Np // block_b,)
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape + (block_b,),
+                            lambda b, nd=nd: (0,) * nd + (b,),
+                            memory_space=pltpu.VMEM)
+
+    def sspec(shape):
+        return pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    y_l, lam_s_l, lam_p_l, gap_l = pl.pallas_call(
+        partial(_ipm_kernel, iters=iters, ndim=ndim, nf=nf, Ru=Ru, C=C,
+                M=M, n1=n1, reg=reg, s_min=s_min),
+        grid=grid,
+        in_specs=[bspec((nf, nf)), bspec((nv,)), bspec((nv,)),
+                  sspec((ndim, Ru, nf)), sspec((ndim, nf * nf, Ru)),
+                  bspec((2, ndim * Ru)), bspec((3, C * MI)),
+                  bspec((C * MI,)), bspec((C * MI,)),
+                  sspec((MI, nf)), sspec((MI, nf * nf))],
+        out_specs=(bspec((nv,)), bspec((2, ndim * Ru)), bspec((C * MI,)),
+                   bspec((1,))),
+        out_shape=(jax.ShapeDtypeStruct((nv, Np), f32),
+                   jax.ShapeDtypeStruct((2, ndim * Ru, Np), f32),
+                   jax.ShapeDtypeStruct((C * MI, Np), f32),
+                   jax.ShapeDtypeStruct((1, Np), f32)),
+        scratch_shapes=[pltpu.VMEM((nv, nv, block_b), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Pb_l, q_l, y0_l, U_j, UU, bs_l, nsc_l, scale_l, bpl_l, Fseg2, FF2)
+
+    y = jnp.moveaxis(y_l[..., :N], -1, 0)
+    lam_s = jnp.moveaxis(lam_s_l[..., :N], -1, 0)
+    lam_p = jnp.moveaxis(lam_p_l[..., :N], -1, 0).reshape(N, C * MI)
+    gap = gap_l[0, :N]
+    return y, lam_s, lam_p, gap

@@ -224,7 +224,8 @@ def solve_qp(P, q, A, b, mask=None, y0=None, iters: int = 20,
 
 def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
                  y0=None, iters: int = 20, reg: float = 1e-8,
-                 s_min: float = 1.0, static_blocks=None) -> QPSolution:
+                 s_min: float = 1.0, static_blocks=None,
+                 P_blk=None, fused_mode: str = "auto") -> QPSolution:
     """Factored-row QP solve for the production LSC/SFC path.
 
     Static rows (world bounds + dynamic limits) are one agent-shared
@@ -243,6 +244,14 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
     sparsity and +- pairing of the static rows so their Gram is three
     (nf, nf) blocks instead of a dense (nv, nv) product (the dominant
     IPM cost at production sizes without it).
+
+    P_blk (optional, (N, nf, nf)): the shared per-dimension cost block
+    (P is block-diagonal with EQUAL blocks in the production assembly).
+    With both static_blocks and P_blk available on TPU/f32, the whole
+    solve runs as ONE fused Pallas launch with every iterate VMEM-
+    resident (ops/ipm_pallas.py); fused_mode: "auto" (TPU f32),
+    "off" (always the XLA path), "interpret" (Pallas interpreter, for
+    CPU tests).
     """
     with jax.default_matmul_precision("highest"):
         dtype = P.dtype
@@ -338,6 +347,33 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
             H_blk = gram_st_blocks(d[:, :R_s])
             H_pl = H_pl + jnp.einsum("nkfg,kl->nkflg", H_blk, eye3)
             return H_pl.reshape(N, nv, nv)
+
+        use_fused = (static_blocks is not None and P_blk is not None and
+                     fused_mode != "off" and
+                     (fused_mode == "interpret" or
+                      (jax.default_backend() == "tpu" and
+                       dtype == jnp.float32)))
+        if use_fused:
+            from .ipm_pallas import ipm_lsc_fused
+            bp = b_st[:, row_perm]                       # pair-major
+            b_pairs = jnp.stack([bp[:, 0::2], bp[:, 1::2]], axis=1)
+            y0f = y0 if y0 is not None else jnp.zeros((N, nv), dtype)
+            y, lam_s, lam_p, gap = ipm_lsc_fused(
+                P_blk.astype(dtype), q, y0f, U, b_pairs, nsc,
+                scale, b_pl, F_seg, iters=iters, reg=reg, s_min=s_min,
+                interpret=(fused_mode == "interpret"))
+            # duals back to [static original order, plane rows]
+            lam_perm = jnp.stack([lam_s[:, 0], lam_s[:, 1]],
+                                 axis=-1).reshape(N, R_s)
+            lam = jnp.concatenate([lam_perm[:, inv_row_perm], lam_p],
+                                  axis=1)
+            obj = 0.5 * jnp.einsum(
+                "nkf,nfg,nkg->n", y.reshape(N, 3, nf),
+                P_blk.astype(dtype), y.reshape(N, 3, nf)) + \
+                jnp.einsum("nv,nv->n", q, y)
+            primal_res = jnp.max(jnp.maximum(b - mv(y), 0.0), axis=-1)
+            return QPSolution(y=y, lam=lam, obj=obj,
+                              primal_res=primal_res, gap=gap)
 
         return _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min)
 

@@ -499,13 +499,19 @@ class TrajOptimizer:
         # row tensor is HBM-bandwidth-bound (~180 MB at 1024 agents x 32
         # neighbours, streamed twice per IPM iteration); below that one
         # big matmul beats many small contractions, so small swarms stay
-        # dense.  Slack modes always use dense rows.
+        # dense on CPU/f64.  On TPU/f32 the factored path further lowers
+        # to the single-launch VMEM-resident Pallas IPM
+        # (ops/ipm_pallas.py), which wins at every size.  Slack modes
+        # always use dense rows.
         dense_bytes = N * C * M * (n + 1) * nv * np.dtype(dtype).itemsize
-        if slack is None and dense_bytes > 48 * 2 ** 20:
+        fused_ok = (jax.default_backend() == "tpu" and
+                    dtype == jnp.float32)
+        if slack is None and (dense_bytes > 48 * 2 ** 20 or fused_ok):
             sol = qp_ops.solve_qp_lsc(
                 P, q, self.A_static_y, b_st, normal.astype(dtype), b_pl4,
                 mask_pl4, F_seg, y0=y_warm, iters=p.qp_iterations,
-                static_blocks=self.static_blocked)
+                static_blocks=self.static_blocked,
+                P_blk=P_dimblk[:, 0])
             return self._recover(sol, N, dtype, None, None, tmask,
                                  current_goal, gx)
 

@@ -155,6 +155,52 @@ def test_blocked_static_gram_matches_generic(rng):
                                atol=1e-9)
 
 
+def test_fused_pallas_ipm_matches_xla_path(rng):
+    """The single-launch VMEM-resident Pallas IPM (interpret mode) must
+    match the XLA factored-row path on the production row structure."""
+    from lsc_planner_tpu.config import Param
+    from lsc_planner_tpu.planner.optimizer import TrajOptimizer
+
+    opt = TrajOptimizer(Param())
+    A_st = opt.A_static_y
+    nv, nf = opt.nv, opt.nf
+    N, C, M, n1 = 3, 5, opt.M, opt.n + 1
+
+    Lb = rng.normal(size=(N, nf, nf)) * 0.3
+    P_blk = (Lb @ np.swapaxes(Lb, -1, -2) +
+             2.0 * np.eye(nf)).astype(np.float32)
+    P = np.zeros((N, nv, nv), np.float32)
+    for k in range(3):
+        P[:, k * nf:(k + 1) * nf, k * nf:(k + 1) * nf] = P_blk
+    q = rng.normal(size=(N, nv)).astype(np.float32)
+    F_seg = opt.F_seg.astype(np.float32)
+    b_st = (rng.normal(size=(N, A_st.shape[0])) - 5.0).astype(np.float32)
+    normal = rng.normal(size=(N, C, M, 3)).astype(np.float32)
+    rhs = (rng.normal(size=(N, C, M, n1)) - 3.0).astype(np.float32)
+    mask = rng.uniform(size=(N, C, M, n1)) > 0.3
+    y0 = rng.normal(size=(N, nv)).astype(np.float32) * 0.1
+
+    common = [jnp.asarray(P), jnp.asarray(q), jnp.asarray(A_st),
+              jnp.asarray(b_st), jnp.asarray(normal), jnp.asarray(rhs),
+              jnp.asarray(mask), jnp.asarray(F_seg)]
+    kw = dict(y0=jnp.asarray(y0), iters=15,
+              static_blocks=opt.static_blocked)
+    ref = qp.solve_qp_lsc(*common, **kw, fused_mode="off")
+    fused = qp.solve_qp_lsc(*common, **kw, P_blk=jnp.asarray(P_blk),
+                            fused_mode="interpret")
+    np.testing.assert_allclose(np.asarray(fused.y), np.asarray(ref.y),
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(fused.obj), np.asarray(ref.obj),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused.gap), np.asarray(ref.gap),
+                               rtol=0.1, atol=1e-4)
+    assert float(jnp.max(fused.primal_res)) < 1e-4
+    # duals of weakly-active rows converge at path-dependent f32 rates;
+    # the primal/objective checks above are the tight contract
+    np.testing.assert_allclose(np.asarray(fused.lam), np.asarray(ref.lam),
+                               rtol=0.5, atol=0.2)
+
+
 def test_pallas_factor_solve_matches_numpy(rng):
     """Interpret-mode chol_factor_solve / chol_resolve vs numpy solves
     (lanes-layout factor handle, padding via non-128-multiple batch)."""

@@ -22,6 +22,26 @@ MISSION = "/root/reference/missions/multi_square16.json"
 WORLD = "/root/reference/world/simple_forest.bt"
 
 
+CIRCLE20 = "/root/reference/missions/multi_circle20.json"
+
+
+@pytest.mark.skipif(not os.path.exists(CIRCLE20),
+                    reason="reference assets not mounted")
+def test_circle20_empty_world():
+    """multi_circle20 (BASELINE.json config): 20-agent circle exchange
+    with full LSC deadlock-resolution goal planning, empty world --
+    must complete collision-free with every agent at its goal."""
+    param = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14)
+    mission = load_mission(CIRCLE20, param)
+    sim = SyncSimulator(mission, param, dtype=jnp.float64)
+    summary = sim.run(max_iterations=300)
+    assert summary["iterations"] < 300, "did not finish"
+    assert not summary["is_collided"]
+    assert summary["safety_ratio_agent"] >= 1.0
+    # 8 m diameter exchange: straight-line lower bound is 20 * 8 = 160 m
+    assert 160.0 < summary["total_flight_distance"] < 2.5 * 160.0
+
+
 @pytest.mark.skipif(not os.path.exists(MISSION),
                     reason="reference assets not mounted")
 def test_square16_forest_benchmark():
