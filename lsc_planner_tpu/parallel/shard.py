@@ -25,6 +25,7 @@ from ..sim import audit
 from ..sim.simulator import SwarmState, CycleInfo, SyncSimulator
 
 AGENT_AXIS = "agents"
+HOST_AXIS = "hosts"          # DCN axis of the 2-axis mesh
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -35,10 +36,27 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (AGENT_AXIS,))
 
 
-def state_specs() -> SwarmState:
-    """PartitionSpecs for SwarmState: per-agent fields sharded, scalars
+def make_mesh_2d(n_hosts: int, chips_per_host: Optional[int] = None,
+                 devices=None) -> Mesh:
+    """2-axis mesh (hosts, chips): the slow outer axis maps to DCN
+    (host boundaries), the fast inner axis to ICI within a host.  Device
+    order is host-major (jax.devices() already groups by process), so the
+    linearized agent order keeps each host's agents contiguous and the
+    DCN traffic of the hierarchical exchange is one block halo per host
+    pair instead of the full swarm."""
+    devices = list(devices if devices is not None else jax.devices())
+    if chips_per_host is None:
+        chips_per_host = len(devices) // n_hosts
+    devices = devices[:n_hosts * chips_per_host]
+    arr = np.asarray(devices).reshape(n_hosts, chips_per_host)
+    return Mesh(arr, (HOST_AXIS, AGENT_AXIS))
+
+
+def state_specs(axes=AGENT_AXIS) -> SwarmState:
+    """PartitionSpecs for SwarmState: per-agent fields sharded over
+    `axes` (one mesh axis name or a tuple for the 2-axis mesh), scalars
     replicated."""
-    sharded = P(AGENT_AXIS)
+    sharded = P(axes)
     rep = P()
     return SwarmState(traj=sharded, pos=sharded, vel=sharded, acc=sharded,
                       current_goal=sharded, seq=rep, qp_cost=sharded,
@@ -50,9 +68,10 @@ def state_specs() -> SwarmState:
                       rescue_phase=sharded)
 
 
-def _ring_halo(x, halo: int, n_dev: int):
+def _ring_halo(x, halo: int, n_ring: int, axis: str = AGENT_AXIS):
     """Gather the (2*halo+1)-shard neighbourhood of a per-shard block via
-    lax.ppermute ring steps: offset-ordered blocks [-halo..halo].
+    lax.ppermute ring steps over mesh axis `axis`: offset-ordered blocks
+    [-halo..halo].
 
     This is the CP/ring analog from SURVEY.md section 5.7: with the swarm
     kept spatially sorted (see `spatial_sort_state`), agents outside the
@@ -61,13 +80,13 @@ def _ring_halo(x, halo: int, n_dev: int):
     all_gather AND bounds the downstream K-NN distance matrix at
     (L, (2*halo+1)*L) instead of (L, N).
     """
-    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]   # recv from left
-    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]   # recv from right
+    fwd = [(i, (i + 1) % n_ring) for i in range(n_ring)]  # recv from left
+    bwd = [(i, (i - 1) % n_ring) for i in range(n_ring)]  # recv from right
     left, right = {}, {}
     xl = xr = x
     for h in range(1, halo + 1):
-        xl = jax.lax.ppermute(xl, AGENT_AXIS, fwd)       # block of shard-h
-        xr = jax.lax.ppermute(xr, AGENT_AXIS, bwd)       # block of shard+h
+        xl = jax.lax.ppermute(xl, axis, fwd)       # block of shard-h
+        xr = jax.lax.ppermute(xr, axis, bwd)       # block of shard+h
         left[h], right[h] = xl, xr
     blocks = [left[h] for h in range(halo, 0, -1)] + [x] + \
         [right[h] for h in range(1, halo + 1)]
@@ -84,18 +103,30 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
     Requires 2H+1 <= mesh size, spatially sorted agent order (re-sort
     with `spatial_sort_state` between cycles as the swarm moves), and a
     homogeneous swarm (uniform radius/downwash/limits) since sorting
-    permutes rows; the exact safety audit stays global either way."""
+    permutes rows; the exact safety audit stays global either way.
+
+    A 2-axis mesh from `make_mesh_2d` switches to the hierarchical
+    (multi-host) layout: agents sharded over (hosts, chips), the
+    trajectory exchange an all_gather over ICI within each host, and --
+    with halo_shards = H -- a host-block ring halo over the DCN axis, so
+    cross-host traffic is 2H boundary blocks per host instead of the
+    whole swarm."""
     p = sim.param
     N = sim.N
+    two_level = tuple(mesh.axis_names) == (HOST_AXIS, AGENT_AXIS)
+    axes = (HOST_AXIS, AGENT_AXIS) if two_level else AGENT_AXIS
     n_dev = mesh.devices.size
     if N % n_dev != 0:
         raise ValueError(f"agent count {N} must be divisible by the mesh "
                          f"size {n_dev} (pad the mission)")
     L = N // n_dev
+    if two_level:
+        n_hosts, ici = mesh.devices.shape
     if halo_shards is not None:
-        if 2 * halo_shards + 1 > n_dev:
-            raise ValueError("halo window exceeds the mesh "
-                             f"(2*{halo_shards}+1 > {n_dev})")
+        n_ring = n_hosts if two_level else n_dev
+        if 2 * halo_shards + 1 > n_ring:
+            raise ValueError("halo window exceeds the ring "
+                             f"(2*{halo_shards}+1 > {n_ring})")
         for arr in (sim.radius, sim.downwash, sim.nominal_velocity,
                     sim.max_vel, sim.max_acc):
             a = np.asarray(arr)
@@ -104,11 +135,15 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
                                  "homogeneous swarm (spatial sorting "
                                  "permutes agent rows)")
 
-    specs = state_specs()
+    specs = state_specs(axes)
 
     def body(state: SwarmState):
         # local block: (L, ...) per-agent leaves
-        shard = jax.lax.axis_index(AGENT_AXIS)
+        if two_level:
+            shard = (jax.lax.axis_index(HOST_AXIS) * ici +
+                     jax.lax.axis_index(AGENT_AXIS))
+        else:
+            shard = jax.lax.axis_index(AGENT_AXIS)
         my_ids = shard * L + jnp.arange(L)
 
         pos_l, vel_l, acc_l = sim.propagate(state)
@@ -129,12 +164,29 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
         # --- the communication step: neighbour trajectory exchange ---
         obs_attrs = {}
         if halo_shards is None:
-            pred_g = jax.lax.all_gather(pred_l, AGENT_AXIS, tiled=True)
-            pos_g = jax.lax.all_gather(pos_l, AGENT_AXIS, tiled=True)
-            prev_g = jax.lax.all_gather(state.traj, AGENT_AXIS, tiled=True)
-            goal_g = jax.lax.all_gather(state.desired_goal, AGENT_AXIS,
+            pred_g = jax.lax.all_gather(pred_l, axes, tiled=True)
+            pos_g = jax.lax.all_gather(pos_l, axes, tiled=True)
+            prev_g = jax.lax.all_gather(state.traj, axes, tiled=True)
+            goal_g = jax.lax.all_gather(state.desired_goal, axes,
                                         tiled=True)
             self_mask = my_ids[:, None] == jnp.arange(N)[None, :]
+        elif two_level:
+            # intra-host all_gather over ICI, host-block halo over DCN
+            H = halo_shards
+            Lh = ici * L                       # agents per host
+
+            def view(x):
+                xg = jax.lax.all_gather(x, AGENT_AXIS, tiled=True)
+                return _ring_halo(xg, H, n_hosts, axis=HOST_AXIS)
+            pred_g = view(pred_l)
+            pos_g = view(pos_l)
+            prev_g = view(state.traj)
+            goal_g = view(state.desired_goal)
+            V = (2 * H + 1) * Lh
+            col = jnp.arange(V)
+            local = jax.lax.axis_index(AGENT_AXIS) * L + jnp.arange(L)
+            self_mask = ((col[None, :] // Lh == H) &
+                         (col[None, :] % Lh == local[:, None]))
         else:
             H = halo_shards
             pred_g = _ring_halo(pred_l, H, n_dev)
@@ -146,6 +198,7 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
             col = jnp.arange(V)
             self_mask = ((col[None, :] // L == H) &
                          (col[None, :] % L == jnp.arange(L)[:, None]))
+        if halo_shards is not None:
             # homogeneous swarm (checked above): view attributes are
             # uniform regardless of the sorted order
             obs_attrs = dict(
@@ -176,7 +229,7 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
         ts = audit._sample_times(p.multisim_record_time_step,
                                  p.multisim_time_step, inclusive=True)
         pos_samples_l = audit.positions_at(res.traj, ts, p.dt)  # (T, L, 3)
-        pos_samples = jax.lax.all_gather(pos_samples_l, AGENT_AXIS,
+        pos_samples = jax.lax.all_gather(pos_samples_l, axes,
                                          tiled=True, axis=1)    # (T, N, 3)
         safety_step = jnp.min(audit.pairwise_safety_ratio(
             pos_samples[:-1], sim.radius, sim.downwash))
@@ -204,8 +257,8 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
                         in_specs=(specs,),
                         out_specs=(specs,
                                    CycleInfo(safety_step_min=P(),
-                                             qp_cost=P(AGENT_AXIS),
-                                             primal_res=P(AGENT_AXIS))),
+                                             qp_cost=P(axes),
+                                             primal_res=P(axes))),
                         check_vma=False)
     return jax.jit(sharded)
 
@@ -257,10 +310,16 @@ def spatial_sort_state(state: SwarmState, world_min, world_max,
         lambda x, s: x[perm] if s == P(AGENT_AXIS) else x, state, specs)
 
 
+def _mesh_axes(mesh: Mesh):
+    return ((HOST_AXIS, AGENT_AXIS)
+            if tuple(mesh.axis_names) == (HOST_AXIS, AGENT_AXIS)
+            else AGENT_AXIS)
+
+
 def shard_state(state: SwarmState, mesh: Mesh) -> SwarmState:
     """Place a host-built initial state onto the mesh with the cycle's
     shardings."""
-    specs = state_specs()
+    specs = state_specs(_mesh_axes(mesh))
     return jax.tree.map(
         lambda x, s: jax.device_put(
             x, jax.sharding.NamedSharding(mesh, s)), state, specs)

@@ -124,3 +124,45 @@ def test_sharded_run_completes(mesh):
     assert summary["iterations"] < 300
     assert not summary["is_collided"]
     assert summary["safety_ratio_agent"] >= 1.0
+
+
+def test_mesh2d_all_gather_matches_single(mesh):
+    """(2 hosts x 4 chips) hierarchical mesh, full exchange: bit-identical
+    to the single-device cycle (host-major agent order is the identity)."""
+    mesh2d = pshard.make_mesh_2d(2, 4)
+    mission = make_circle_mission(16, radius=4.0)
+    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14)
+    sim = SyncSimulator(mission, p, dtype=jnp.float64)
+    cycle2d = pshard.make_sharded_cycle(sim, mesh2d)
+
+    state_s = pshard.shard_state(sim.initial_state(), mesh2d)
+    state_1 = sim.initial_state()
+    for _ in range(3):
+        state_s, _ = cycle2d(state_s)
+        state_1, _ = sim._cycle_jit(state_1)
+    np.testing.assert_allclose(np.asarray(state_s.traj),
+                               np.asarray(state_1.traj), atol=1e-8)
+    np.testing.assert_allclose(float(state_s.distance),
+                               float(state_1.distance), atol=1e-7)
+
+
+def test_mesh2d_host_halo_full_window_matches(mesh):
+    """On a (3 hosts x 2 chips) mesh with host_halo=1 the hierarchical
+    view covers the whole swarm (3 host blocks), so it must agree with
+    the full all_gather cycle up to constraint-row ordering."""
+    mesh2d = pshard.make_mesh_2d(3, 2)
+    mission = make_circle_mission(12, radius=4.0)
+    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14)
+    sim = SyncSimulator(mission, p, dtype=jnp.float64)
+    cycle_full = pshard.make_sharded_cycle(sim, mesh2d)
+    cycle_halo = pshard.make_sharded_cycle(sim, mesh2d, halo_shards=1)
+
+    state_f = pshard.shard_state(sim.initial_state(), mesh2d)
+    state_h = pshard.shard_state(sim.initial_state(), mesh2d)
+    for _ in range(3):
+        state_f, _ = cycle_full(state_f)
+        state_h, _ = cycle_halo(state_h)
+    np.testing.assert_allclose(np.asarray(state_h.traj),
+                               np.asarray(state_f.traj), atol=1e-7)
+    np.testing.assert_allclose(float(state_h.safety_agent_min),
+                               float(state_f.safety_agent_min), atol=1e-8)
