@@ -157,8 +157,21 @@ class Param:
     # <=0 means "all other agents" (reference behaviour).  Spatial pruning is
     # the CP/ring analog from SURVEY.md section 5.7 for 1000+ agent scaling.
     max_neighbors: int = -1
-    # Batched QP interior-point iterations (static for jit).
+    # Batched QP interior-point iterations (static for jit).  This is a
+    # CAP: the fused TPU kernel exits early once every agent in a lane
+    # tile reaches qp_tol_gap / qp_tol_rp (warm-started steady-state
+    # cycles typically converge in well under half the cap).
     qp_iterations: int = 20
+    # Early-exit tolerances for the fused IPM: complementarity gap and
+    # max primal residual (rows are unit-norm equilibrated, so these are
+    # in meters at the constraint surface).
+    qp_tol_gap: float = 1e-3
+    qp_tol_rp: float = 1e-4
+    # Floor on the warm-start slacks (s0 = max(A y0 - b, s_min)).  Large
+    # values re-center the iterate far from the warm point (robust but
+    # slow to converge); small values keep the warm start's activity
+    # pattern so steady-state cycles converge in fewer iterations.
+    qp_s_min: float = 1.0
     # Batched convex-hull closest-point iterations (static for jit).
     hull_iterations: int = 96
     # Fixed iteration cap for SFC box expansion (per axis sweep).

@@ -139,7 +139,7 @@ def _solve_subsets(points, subs, feas_tol: float = 1e-7):
     return cand, d2.reshape(out_shape), feasible.reshape(out_shape)
 
 
-def closest_point_to_hull(points, iters: int = 0, max_support: int = 4):
+def closest_point_to_hull(points, iters: int = 0, max_support: int = 3):
     """Exact closest point of conv(points) to the origin, batched.
 
     points: (..., K, 3).  Returns (closest (..., 3), dist (...,)).
@@ -179,7 +179,24 @@ def _closest_point_enum(points, max_support):
         is_min.astype(d2.dtype)
     onehot = (first == 1.0).astype(cand.dtype)
     closest = jnp.einsum("...t,...td->...d", onehot, cand)
-    dist = jnp.sqrt(d2_min[..., 0])
+    d2_best = d2_min[..., 0]
+
+    if K > max_support >= 3:
+        # Caratheodory sharpened: in R^3 the projection of the origin
+        # onto conv(P) lies on a face of dimension <= 2, so support
+        # size <= 3 EXCEPT when the origin is inside the hull (distance
+        # 0, witnessed only by a 4-point simplex).  Instead of the 15
+        # size-4 subsets (~half the enumeration work), detect the
+        # interior case by the projection optimality condition:
+        # c is the true projection  iff  c . p_i >= c . c  for all i.
+        cp_min = jnp.min(jnp.einsum("...kd,...d->...k", points, closest),
+                         axis=-1)
+        pscale = jnp.max(jnp.sum(points * points, axis=-1), axis=-1)
+        inside = cp_min < d2_best - 1e-6 * pscale
+        closest = jnp.where(inside[..., None], 0.0, closest)
+        d2_best = jnp.where(inside, 0.0, d2_best)
+
+    dist = jnp.sqrt(d2_best)
     return closest, dist
 
 

@@ -42,6 +42,10 @@ def _rowsum(x):
     return jnp.sum(x.reshape(-1, x.shape[-1]), axis=0)
 
 
+def _rowmax(x):
+    return jnp.max(x.reshape(-1, x.shape[-1]), axis=0)
+
+
 def _step_len(v, dv, tau=0.995):
     """Largest alpha in (0,1] with v + alpha dv >= (1-tau) v, per lane.
     v/dv: lists of (..., B) buffers."""
@@ -96,7 +100,8 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
                 scale_ref, bpl_ref, Fseg_ref, FF_ref,
                 y_ref, lam_s_ref, lam_p_ref, gap_ref, l_scr,
                 *, iters: int, ndim: int, nf: int, Ru: int, C: int,
-                M: int, n1: int, reg: float, s_min: float):
+                M: int, n1: int, reg: float, s_min: float,
+                tol_gap: float, tol_rp: float):
     """One lane tile (B agents in lanes) of the full IPM solve.
 
     Tile shapes (B = lanes).  All plane-row buffers are FLAT 2-D
@@ -212,9 +217,8 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
             [jnp.sum(Pb * y3[k][:, None, :], axis=0) for k in range(ndim)],
             axis=0)
 
-    def iteration(_, carry):
-        y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl = carry
-        su, plv = mv(y)
+    def iteration(carry):
+        it, _, y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl, su, plv = carry
         r_d = Py(y) + q - rmv(l_sp - l_sm, l_pl)
         rp_sp = su - s_sp - bs[0]
         rp_sm = -su - s_sm - bs[1]
@@ -282,27 +286,52 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
             shape = (1,) * (a.ndim - 1) + (B,)
             return jnp.where(ok.reshape(shape), a, b)
 
-        return (sel(y_n, y), sel(s_sp_n, s_sp), sel(s_sm_n, s_sm),
-                sel(s_pl_n, s_pl), sel(l_sp_n, l_sp), sel(l_sm_n, l_sm),
-                sel(l_pl_n, l_pl))
+        y_n = sel(y_n, y)
+        s_sp_n, s_sm_n, s_pl_n = (sel(s_sp_n, s_sp), sel(s_sm_n, s_sm),
+                                  sel(s_pl_n, s_pl))
+        l_sp_n, l_sm_n, l_pl_n = (sel(l_sp_n, l_sp), sel(l_sm_n, l_sm),
+                                  sel(l_pl_n, l_pl))
 
-    carry = (y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl)
-    carry = jax.lax.fori_loop(0, iters, iteration, carry)
-    y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl = carry
+        # convergence test on the NEW iterate (next iteration's mv is
+        # hoisted here so it costs nothing extra): every lane at
+        # complementarity gap < tol_gap with primal residual < tol_rp.
+        # A NaN-frozen lane reports converged=False and rides to the cap.
+        su_n, plv_n = mv(y_n)
+        mu_n = (_rowsum(s_sp_n * l_sp_n) + _rowsum(s_sm_n * l_sm_n) +
+                _rowsum(s_pl_n * l_pl_n)) / nr
+        rpm = jnp.maximum(
+            _rowmax(jnp.abs(su_n - s_sp_n - bs[0])),
+            jnp.maximum(_rowmax(jnp.abs(-su_n - s_sm_n - bs[1])),
+                        _rowmax(jnp.abs(plv_n - s_pl_n - bpl))))
+        lane_done = ok & (mu_n < tol_gap) & (rpm < tol_rp)
+        conv = (jnp.min(jnp.where(lane_done, 1.0, 0.0)) > 0.5)\
+            .astype(jnp.int32)
+
+        return (it + 1, conv, y_n, s_sp_n, s_sm_n, s_pl_n,
+                l_sp_n, l_sm_n, l_pl_n, su_n, plv_n)
+
+    carry = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+             y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl, su0, pl0)
+    carry = jax.lax.while_loop(
+        lambda c: jnp.logical_and(c[0] < iters, c[1] == 0),
+        iteration, carry)
+    it, _, y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl, _, _ = carry
 
     y_ref[:] = y
     lam_s_ref[0] = l_sp
     lam_s_ref[1] = l_sm
     lam_p_ref[:] = l_pl
-    gap_ref[:] = ((_rowsum(s_sp * l_sp) + _rowsum(s_sm * l_sm) +
-                   _rowsum(s_pl * l_pl)) / nr)[None, :]
+    gap_ref[0] = (_rowsum(s_sp * l_sp) + _rowsum(s_sm * l_sm) +
+                  _rowsum(s_pl * l_pl)) / nr
+    gap_ref[1] = jnp.full((B,), 1.0, jnp.float32) * it.astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("iters", "reg", "s_min", "interpret",
-                                   "block_b"))
+                                   "block_b", "tol_gap", "tol_rp"))
 def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
                   iters: int = 14, reg: float = 1e-8, s_min: float = 1.0,
-                  interpret: bool = False, block_b: int = 128):
+                  interpret: bool = False, block_b: int = 128,
+                  tol_gap: float = 1e-3, tol_rp: float = 1e-4):
     """Solve the whole swarm's LSC QPs in one fused Pallas launch.
 
     P_blk (N, nf, nf); q/y0 (N, nv); U (ndim, Ru, nf) pre-scaled unique
@@ -313,6 +342,12 @@ def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
 
     Returns (y (N, nv), lam_static (N, 2, ndim*Ru), lam_planes
     (N, C*M*n1) c-major, gap (N,)).
+
+    iters is a CAP: each 128-lane tile exits its iteration loop as soon
+    as every lane reaches complementarity gap < tol_gap with primal
+    residual < tol_rp (warm-started steady-state cycles converge in far
+    fewer than the cap, and the whole tile's remaining iterations are
+    real skipped work, not masked lanes).
     """
     N, nf = P_blk.shape[0], P_blk.shape[-1]
     ndim, Ru = U.shape[0], U.shape[1]
@@ -367,7 +402,8 @@ def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
 
     y_l, lam_s_l, lam_p_l, gap_l = pl.pallas_call(
         partial(_ipm_kernel, iters=iters, ndim=ndim, nf=nf, Ru=Ru, C=C,
-                M=M, n1=n1, reg=reg, s_min=s_min),
+                M=M, n1=n1, reg=reg, s_min=s_min, tol_gap=tol_gap,
+                tol_rp=tol_rp),
         grid=grid,
         in_specs=[bspec((nf, nf)), bspec((nv,)), bspec((nv,)),
                   sspec((ndim, Ru, nf)), sspec((ndim, nf * nf, Ru)),
@@ -375,11 +411,11 @@ def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
                   bspec((C * MI,)), bspec((C * MI,)),
                   sspec((MI, nf)), sspec((MI, nf * nf))],
         out_specs=(bspec((nv,)), bspec((2, ndim * Ru)), bspec((C * MI,)),
-                   bspec((1,))),
+                   bspec((2,))),
         out_shape=(jax.ShapeDtypeStruct((nv, Np), f32),
                    jax.ShapeDtypeStruct((2, ndim * Ru, Np), f32),
                    jax.ShapeDtypeStruct((C * MI, Np), f32),
-                   jax.ShapeDtypeStruct((1, Np), f32)),
+                   jax.ShapeDtypeStruct((2, Np), f32)),
         scratch_shapes=[pltpu.VMEM((nv, nv, block_b), f32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -225,7 +225,9 @@ def solve_qp(P, q, A, b, mask=None, y0=None, iters: int = 20,
 def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
                  y0=None, iters: int = 20, reg: float = 1e-8,
                  s_min: float = 1.0, static_blocks=None,
-                 P_blk=None, fused_mode: str = "auto") -> QPSolution:
+                 P_blk=None, fused_mode: str = "auto",
+                 tol_gap: float = 1e-3, tol_rp: float = 1e-4
+                 ) -> QPSolution:
     """Factored-row QP solve for the production LSC/SFC path.
 
     Static rows (world bounds + dynamic limits) are one agent-shared
@@ -361,7 +363,8 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
             y, lam_s, lam_p, gap = ipm_lsc_fused(
                 P_blk.astype(dtype), q, y0f, U, b_pairs, nsc,
                 scale, b_pl, F_seg, iters=iters, reg=reg, s_min=s_min,
-                interpret=(fused_mode == "interpret"))
+                interpret=(fused_mode == "interpret"),
+                tol_gap=tol_gap, tol_rp=tol_rp)
             # duals back to [static original order, plane rows]
             lam_perm = jnp.stack([lam_s[:, 0], lam_s[:, 1]],
                                  axis=-1).reshape(N, R_s)

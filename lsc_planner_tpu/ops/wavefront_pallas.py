@@ -27,11 +27,14 @@ BIG = 1e9
 
 def _wavefront_kernel(occ_ref, goal_ref, out_ref, *, max_iters: int):
     """One agent's relaxation: occ (1, Z, Y, X) f32 (1=blocked), goal
-    (1, 3) int32 in (z, y, x) order -> distances (1, Z, Y, X) f32."""
+    (N, 3) int32 in (z, y, x) order (whole array in SMEM -- Mosaic
+    rejects sub-8-row SMEM blocks -- indexed by program id) ->
+    distances (1, Z, Y, X) f32."""
     _, Z, Y, X = occ_ref.shape
-    gz = goal_ref[0, 0]
-    gy = goal_ref[0, 1]
-    gx = goal_ref[0, 2]
+    pid = pl.program_id(0)
+    gz = goal_ref[pid, 0]
+    gy = goal_ref[pid, 1]
+    gx = goal_ref[pid, 2]
 
     zz = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, X), 0)
     yy = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, X), 1)
@@ -100,7 +103,7 @@ def wavefront_batched(occ_zyx, goal_zyx, max_iters: int = 512,
         in_specs=[
             pl.BlockSpec((1, Z, Y, X), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda n: (n, 0),
+            pl.BlockSpec((N, 3), lambda n: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, Z, Y, X), lambda n: (n, 0, 0, 0),

@@ -510,6 +510,8 @@ class TrajOptimizer:
             sol = qp_ops.solve_qp_lsc(
                 P, q, self.A_static_y, b_st, normal.astype(dtype), b_pl4,
                 mask_pl4, F_seg, y0=y_warm, iters=p.qp_iterations,
+                tol_gap=p.qp_tol_gap, tol_rp=p.qp_tol_rp,
+                s_min=p.qp_s_min,
                 static_blocks=self.static_blocked,
                 P_blk=P_dimblk[:, 0])
             return self._recover(sol, N, dtype, None, None, tmask,
@@ -571,7 +573,7 @@ class TrajOptimizer:
                     [y_warm, jnp.zeros((N, S), dtype)], axis=1)
 
         sol = qp_ops.solve_qp(P, q, A, b, mask=mask, y0=y_warm,
-                              iters=p.qp_iterations)
+                              iters=p.qp_iterations, s_min=p.qp_s_min)
 
         slack_vals = sol.y[:, nv:] if slack is not None else None
         return self._recover(sol, N, dtype, slack_vals, slack_wts, tmask,

@@ -415,13 +415,24 @@ class SyncSimulator:
                     "lko,of->lkf", onehot, pred_global.reshape(O, -1),
                     precision=jax.lax.Precision.HIGHEST,
                 ).reshape((L, K) + pred_global.shape[1:])      # (L,K,M,n+1,3)
+                # the per-neighbour scalar attributes ride the same
+                # selection matmul (a (L*K, O) x (O, 3) matvec is far
+                # cheaper than three (L, K) TPU gathers)
+                attrs = jnp.stack([obs_radius_all, obs_downwash_all,
+                                   obs_maxacc_all], axis=-1)   # (O, 3)
+                sel = jnp.einsum("lko,oa->lka", onehot,
+                                 attrs.astype(pred_global.dtype),
+                                 precision=jax.lax.Precision.HIGHEST)
+                obs_radius = sel[..., 0]
+                obs_downwash = sel[..., 1]
+                obs_max_acc = sel[..., 2]
             else:
                 obs_pred = pred_global[nbr]
+                obs_radius = obs_radius_all[nbr]
+                obs_downwash = obs_downwash_all[nbr]
+                obs_max_acc = obs_maxacc_all[nbr]
             obs_is_agent = jnp.ones((L, K), bool)
             obs_mask = jnp.ones((L, K), bool)
-            obs_radius = obs_radius_all[nbr]
-            obs_downwash = obs_downwash_all[nbr]
-            obs_max_acc = obs_maxacc_all[nbr]
         else:
             obs_pred = jnp.broadcast_to(pred_global[None],
                                         (L, O, M, n + 1, 3))

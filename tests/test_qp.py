@@ -186,8 +186,12 @@ def test_fused_pallas_ipm_matches_xla_path(rng):
     kw = dict(y0=jnp.asarray(y0), iters=15,
               static_blocks=opt.static_blocked)
     ref = qp.solve_qp_lsc(*common, **kw, fused_mode="off")
+    # tol 0 disables the fused path's early exit so both run the full 15
+    # iterations (the equivalence contract); early-exit quality has its
+    # own test below
     fused = qp.solve_qp_lsc(*common, **kw, P_blk=jnp.asarray(P_blk),
-                            fused_mode="interpret")
+                            fused_mode="interpret", tol_gap=0.0,
+                            tol_rp=0.0)
     np.testing.assert_allclose(np.asarray(fused.y), np.asarray(ref.y),
                                rtol=5e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(fused.obj), np.asarray(ref.obj),
@@ -199,6 +203,17 @@ def test_fused_pallas_ipm_matches_xla_path(rng):
     # the primal/objective checks above are the tight contract
     np.testing.assert_allclose(np.asarray(fused.lam), np.asarray(ref.lam),
                                rtol=0.5, atol=0.2)
+
+    # --- early exit: at the production tolerances the solve must stop
+    # early on this small problem yet stay primal-feasible and within
+    # ~gap-level optimality of the full-cap solution ---
+    early = qp.solve_qp_lsc(*common, **kw, P_blk=jnp.asarray(P_blk),
+                            fused_mode="interpret", tol_gap=1e-3,
+                            tol_rp=1e-4)
+    assert float(jnp.max(early.primal_res)) < 1e-4
+    assert float(jnp.max(early.gap)) < 2e-3
+    np.testing.assert_allclose(np.asarray(early.y), np.asarray(fused.y),
+                               atol=0.05)
 
 
 def test_pallas_factor_solve_matches_numpy(rng):
