@@ -167,6 +167,9 @@ class Param:
     # in meters at the constraint surface).
     qp_tol_gap: float = 1e-3
     qp_tol_rp: float = 1e-4
+    # Fused single-launch Pallas IPM dispatch: "auto" (TPU/f32),
+    # "off" (always the XLA factored-row path; diagnostic A/B switch).
+    qp_fused_mode: str = "auto"
     # Floor on the warm-start slacks (s0 = max(A y0 - b, s_min)).  Large
     # values re-center the iterate far from the warm point (robust but
     # slow to converge); small values keep the warm start's activity

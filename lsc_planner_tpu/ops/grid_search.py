@@ -228,10 +228,15 @@ class GridPlanner:
 
     def _ray_safe_sampled(self, pts, init_end, radius, ratios):
         """Sampled sphere-cover admissibility for all (agent, ratio, path
-        point) rays, with the origin-clearance escape clamp.  Returns
-        (N, 6, P) bool."""
-        # clearance profile along each ray evaluated once; the six margin
-        # ratios only change the threshold
+        point) rays.  Returns (N, 6, P) bool.
+
+        No origin-clearance relaxation here: lowering the threshold to
+        the agent's own (sub-margin) clearance admits rays through gaps
+        NARROWER than the agent's body -- the sub-goal then points
+        through a wall the QP can never pass, and the agent oscillates
+        against it forever (observed on multi_square16 + simple_forest).
+        Pocket escape is handled by the path-floor in los_free_goal
+        instead."""
         t = jnp.linspace(0.0, 1.0, self.ray_samples).astype(pts.dtype)
         ray = init_end[:, None, None, :] + \
             (pts - init_end[:, None, :])[:, :, None, :] * t[None, None, :,
@@ -239,19 +244,6 @@ class GridPlanner:
         min_clear = jnp.min(self.esdf.at_points(ray), axis=-1)  # (N, P)
         thr = (radius[:, None] * ratios[None, :] +
                0.5 * self.param.world_resolution - SP_EPSILON_FLOAT)
-        # Escape clamp: the reference's castRay rejects any ray whose
-        # ORIGIN clearance is below the margin (grid_based_planner.cpp:
-        # 420-422), so an agent squeezed into a sub-margin pocket (EDT
-        # discretization can put it there -- the reference warns about
-        # exactly this, README.md:70-75) freezes forever: every ray fails
-        # at t=0, the sub-goal degenerates to its own position.  Clamp
-        # the required clearance to just below the origin's own, so rays
-        # that never get CLOSER to the static world than the agent
-        # already is stay admissible; actual safety is still enforced by
-        # the SFC constraints in the QP, the sub-goal only steers it.
-        origin_clear = self.esdf.at_points(init_end)            # (N,)
-        thr = jnp.minimum(thr, (origin_clear - SP_EPSILON_FLOAT -
-                                1e-3)[:, None])
         return min_clear[:, None, :] > thr[:, :, None]          # (N, 6, P)
 
     @property
@@ -337,9 +329,23 @@ class GridPlanner:
                                 axis=-1) > 0.3              # (N, 6)
         # first ratio with moved=True, else the last ratio
         first = jnp.argmax(moved, axis=1)
-        first = jnp.where(jnp.any(moved, axis=1), first, 5)
-        return jnp.take_along_axis(
+        any_moved = jnp.any(moved, axis=1)
+        first = jnp.where(any_moved, first, 5)
+        sel = jnp.take_along_axis(
             los, first[:, None, None].repeat(3, -1), axis=1)[:, 0, :]
+        if self.param.grid_los_exact_castray:
+            # strict reference semantics: LOS shortcuts only
+            return sel
+        # Path-floor (robustness extension beyond the reference, which
+        # freezes in EDT-discretization pockets -- README.md:70-75): when
+        # no LOS ray admits real progress, steer toward the first few
+        # grid-path cells anyway.  Path cells carry >= radius +
+        # grid_margin clearance by construction and consecutive cells
+        # are adjacent, so following them is how a wedged agent backs
+        # out of / climbs over a pocket; actual safety is still enforced
+        # by the SFC constraints in the QP, the sub-goal only steers.
+        floor_pt = pts[:, min(2, P - 1), :]
+        return jnp.where(any_moved[:, None], sel, floor_pt)
 
     # ------------------------------------------------------------------
     def plan_goals(self, pos, init_end, desired_goal, radius, downwash,

@@ -188,11 +188,31 @@ def _closest_point_enum(points, max_support):
         # 0, witnessed only by a 4-point simplex).  Instead of the 15
         # size-4 subsets (~half the enumeration work), detect the
         # interior case by the projection optimality condition:
-        # c is the true projection  iff  c . p_i >= c . c  for all i.
-        cp_min = jnp.min(jnp.einsum("...kd,...d->...k", points, closest),
+        # c is the true projection  iff  (p_i - c) . c >= 0  for all i.
+        #
+        # NUMERICS: the test must be evaluated in this residual form.
+        # The algebraically equal  min_i c.p_i < c.c  subtracts two
+        # O(|p|^2) numbers whose f32 rounding noise (~1e-6 |p|^2) dwarfs
+        # any fixed tolerance once points sit ~10 m out -- exactly the
+        # parallel-trajectory LSC case where all relative control points
+        # nearly coincide.  A spurious "inside" here zeroes the normal
+        # and poisons the LSC planes by O(|p|) (the round-2 1024-agent
+        # collision regression).  Forming q_i = p_i - c FIRST keeps the
+        # product |q||c| small near the support set, so noise scales
+        # with the true residual instead of with |p|^2.
+        # Tolerances measured against the solver's own optimality-residual
+        # noise floor on truly-outside instances across scales 1-150 m
+        # (f32: -5.7e-5 * pscale, f64: -1e-9 * pscale, dominated by the
+        # 1e-7 relative ridge in _solve_subsets); true interior verdicts
+        # carry gaps of order d2_best/pscale, far above either threshold,
+        # and shallow-interior cases already resolve to ~zero distance
+        # through face candidates without needing this flag.
+        q = points - closest[..., None, :]
+        qc_min = jnp.min(jnp.einsum("...kd,...d->...k", q, closest),
                          axis=-1)
         pscale = jnp.max(jnp.sum(points * points, axis=-1), axis=-1)
-        inside = cp_min < d2_best - 1e-6 * pscale
+        tol = 3e-4 if points.dtype == jnp.float32 else 1e-6
+        inside = qc_min < -tol * pscale
         closest = jnp.where(inside[..., None], 0.0, closest)
         d2_best = jnp.where(inside, 0.0, d2_best)
 

@@ -47,6 +47,8 @@ class QPSolution(NamedTuple):
     obj: jnp.ndarray        # (...,)   0.5 y'Py + q'y
     primal_res: jnp.ndarray  # (...,)  max_i max(b_i - a_i'y, 0)
     gap: jnp.ndarray        # (...,)   complementarity mu
+    warm_res: jnp.ndarray = None   # (...,) warm-start max violation
+    warm_row: jnp.ndarray = None   # (...,) argmax row of the above
 
 
 def _masked(A, b, mask):
@@ -350,6 +352,18 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
             H_pl = H_pl + jnp.einsum("nkfg,kl->nkflg", H_blk, eye3)
             return H_pl.reshape(N, nv, nv)
 
+        if y0 is not None:
+            # warm-start feasibility diagnostic: the LSC-shifted previous
+            # solution must be feasible by construction; a violation here
+            # identifies a broken constraint source upstream, not an IPM
+            # failure (the IPM cannot reduce primal infeasibility below
+            # what an infeasible problem admits).
+            viol0 = b - mv(y0)
+            warm_res = jnp.max(viol0, axis=-1)
+            warm_row = jnp.argmax(viol0, axis=-1)
+        else:
+            warm_res = warm_row = None
+
         use_fused = (static_blocks is not None and P_blk is not None and
                      fused_mode != "off" and
                      (fused_mode == "interpret" or
@@ -376,9 +390,11 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
                 jnp.einsum("nv,nv->n", q, y)
             primal_res = jnp.max(jnp.maximum(b - mv(y), 0.0), axis=-1)
             return QPSolution(y=y, lam=lam, obj=obj,
-                              primal_res=primal_res, gap=gap)
+                              primal_res=primal_res, gap=gap,
+                              warm_res=warm_res, warm_row=warm_row)
 
-        return _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min)
+        sol = _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min)
+        return sol._replace(warm_res=warm_res, warm_row=warm_row)
 
 
 def violation_report(A, b, y, mask=None, top_k: int = 5):

@@ -55,6 +55,8 @@ class QPResult(NamedTuple):
     gap: jnp.ndarray         # (N,) complementarity
     y: jnp.ndarray           # (N, nv) raw solution (warm-start handle)
     slack: Optional[jnp.ndarray] = None   # (N, S) slack variables (<= 0)
+    warm_res: Optional[jnp.ndarray] = None  # (N,) warm-start violation
+    warm_row: Optional[jnp.ndarray] = None  # (N,) argmax row
 
 
 class SlackSpec(NamedTuple):
@@ -228,14 +230,22 @@ class TrajOptimizer:
         """x-space indices whose values reproduce y: for each reduced free
         variable, the (m, i) control point it directly parameterizes
         (used to warm-start the QP from the shifted previous solution,
-        which is feasible by the LSC construction)."""
-        # column k of F has a single +-1 row among the free columns; pick
-        # the last x-row where F[:, k] == 1 (the endpoint for the tied
-        # stop-at-horizon group).
+        which is feasible by the LSC construction).
+
+        The candidate rows MUST be restricted to the free x-columns:
+        C^2 continuity gives the determined point c[m][2] a coefficient
+        of exactly +1.0 on the free variable c[m-1][3]
+        (c[m][2] = 4 c[m-1][5] - 4 c[m-1][4] + c[m-1][3]), so scanning
+        all x-rows for F[:, k] == 1 silently picks that wrong row and
+        extracts y values ~0.15 m off the true free control points --
+        making every warm start infeasible by that much."""
+        free = np.asarray(self._FG[2])
         idx = []
         for k in range(self.nf):
-            rows = np.nonzero(np.abs(self.F[:, k] - 1.0) < 1e-12)[0]
-            idx.append(int(rows[-1]))
+            rows = np.nonzero(np.abs(self.F[free, k] - 1.0) < 1e-12)[0]
+            # the stop-at-horizon tied column has three free rows; the
+            # endpoint (last) carries the group's value
+            idx.append(int(free[rows[-1]]))
         return np.asarray(idx)
 
     def extract_y(self, traj):
@@ -505,7 +515,7 @@ class TrajOptimizer:
         # always use dense rows.
         dense_bytes = N * C * M * (n + 1) * nv * np.dtype(dtype).itemsize
         fused_ok = (jax.default_backend() == "tpu" and
-                    dtype == jnp.float32)
+                    dtype == jnp.float32 and p.qp_fused_mode != "off")
         if slack is None and (dense_bytes > 48 * 2 ** 20 or fused_ok):
             sol = qp_ops.solve_qp_lsc(
                 P, q, self.A_static_y, b_st, normal.astype(dtype), b_pl4,
@@ -513,7 +523,8 @@ class TrajOptimizer:
                 tol_gap=p.qp_tol_gap, tol_rp=p.qp_tol_rp,
                 s_min=p.qp_s_min,
                 static_blocks=self.static_blocked,
-                P_blk=P_dimblk[:, 0])
+                P_blk=P_dimblk[:, 0],
+                fused_mode=p.qp_fused_mode)
             return self._recover(sol, N, dtype, None, None, tmask,
                                  current_goal, gx)
 
@@ -606,4 +617,6 @@ class TrajOptimizer:
                                            slack_vals ** 2)
 
         return QPResult(traj=traj, cost=cost, primal_res=sol.primal_res,
-                        gap=sol.gap, y=y_sol, slack=slack_vals)
+                        gap=sol.gap, y=y_sol, slack=slack_vals,
+                        warm_res=getattr(sol, "warm_res", None),
+                        warm_row=getattr(sol, "warm_row", None))

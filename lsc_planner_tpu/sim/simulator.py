@@ -67,6 +67,8 @@ class CycleInfo(NamedTuple):
     safety_step_min: jnp.ndarray
     qp_cost: jnp.ndarray
     primal_res: jnp.ndarray
+    warm_res: jnp.ndarray = None   # (N,) warm-start max row violation
+    warm_row: jnp.ndarray = None   # (N,) argmax row index of the above
 
 
 def _update_stall_count(prev_count, prev_pos, pos, vel, desired_goal,
@@ -90,31 +92,39 @@ def _update_stall_count(prev_count, prev_pos, pos, vel, desired_goal,
     return count, progress
 
 
-def _update_rescue(state, pos, desired_goal, stall_count, progress, p):
+def _update_rescue(state, pos, desired_goal, stall_count, progress, p,
+                   esdf=None, radius=None, world_min=None, world_max=None):
     """Latched deadlock-escape waypoints (extension beyond the reference,
     which leaves forest pocket deadlocks to chance -- README.md:75).
 
-    When the stall count crosses the threshold, freeze a waypoint at
-    goal_radius along the goal direction rotated by the escalation phase
-    (90/180/270 degrees), and chase it INSTEAD of the planner subgoal
-    until it is reached or the agent makes real progress toward its
-    desired goal.  A latched waypoint (vs. re-deriving the push every
-    cycle) is what prevents the stall/rescue tug-of-war: the normal
-    subgoal cannot pull the agent straight back into the pocket while the
-    escape is in flight.  Each re-engagement without intervening progress
-    rotates the phase, so no single blocked direction traps an agent.
+    When the stall count crosses the threshold, freeze an escape waypoint
+    and chase it INSTEAD of the planner subgoal until it is reached or the
+    agent makes real progress toward its desired goal.  A latched waypoint
+    (vs. re-deriving the push every cycle) is what prevents the
+    stall/rescue tug-of-war: the normal subgoal cannot pull the agent
+    straight back into the pocket while the escape is in flight.  Each
+    re-engagement without intervening progress rotates the escalation
+    phase, so no single blocked direction traps an agent.
 
-    A latched waypoint can itself be unreachable (e.g. inside a tree, or
-    outside the agent's collapsed SFC), so an active rescue EXPIRES when
-    the stall count re-crosses the threshold: engagement resets the
-    count, and if the agent is still stalled `deadlock_seq_threshold`
-    cycles later the waypoint is abandoned and the phase rotates.
-    Without this the first unreachable waypoint latches forever and the
-    escalation dies (observed on multi_square16 + simple_forest: an
-    agent wedged against a tree at its start never escaped).
+    Candidate directions per engagement: the goal direction rotated by
+    90/270/180 degrees about z, plus straight up (forest pockets usually
+    open upward).  With a static world (esdf), each candidate's straight
+    ray from the agent is validated against the ESDF and the first
+    admissible one starting from the escalation phase is taken -- a blind
+    rotation can latch a waypoint INSIDE a tree, which the agent chases
+    fruitlessly for `deadlock_seq_threshold` cycles per phase (observed
+    on multi_square16 + simple_forest).
+
+    A latched waypoint can still be unreachable (outside the agent's
+    collapsed SFC), so an active rescue EXPIRES when the stall count
+    re-crosses the threshold: engagement resets the count, and if the
+    agent is still stalled `deadlock_seq_threshold` cycles later the
+    waypoint is abandoned and the phase rotates.  Without this the first
+    unreachable waypoint latches forever and the escalation dies.
 
     Returns (rescue_goal, rescue_active, rescue_phase, stall_count).
     """
+    n_cand = 4
     reached = (jnp.linalg.norm(pos - state.rescue_goal, axis=-1)
                < p.goal_threshold) & state.rescue_active
     phase = jnp.where(progress, 0, state.rescue_phase)
@@ -125,17 +135,52 @@ def _update_rescue(state, pos, desired_goal, stall_count, progress, p):
     active = active & ~expire
     engage = over & ~active
     stall_count = jnp.where(engage, 0, stall_count)
-    phase_new = jnp.where(engage, phase % 3 + 1, phase)  # 1..3
+    phase_new = jnp.where(engage, phase % n_cand + 1, phase)  # 1..n_cand
     gdir = desired_goal - pos
     gnorm = jnp.linalg.norm(gdir, axis=-1, keepdims=True)
-    theta = (jnp.pi / 2.0) * phase_new.astype(pos.dtype)
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    rot = jnp.stack([c * gdir[..., 0] + s * gdir[..., 1],
-                     -s * gdir[..., 0] + c * gdir[..., 1],
-                     gdir[..., 2]], axis=-1)
-    rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True),
-                            1e-12)
-    waypoint = pos + rot * jnp.minimum(gnorm, p.goal_radius)
+    reach = jnp.minimum(gnorm, p.goal_radius)                 # (N, 1)
+
+    dirs = []
+    for k in range(1, n_cand):                                # rotations
+        theta = jnp.asarray((jnp.pi / 2.0) * k, pos.dtype)
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        rot = jnp.stack([c * gdir[..., 0] + s * gdir[..., 1],
+                         -s * gdir[..., 0] + c * gdir[..., 1],
+                         gdir[..., 2]], axis=-1)
+        dirs.append(rot / jnp.maximum(
+            jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12))
+    up = jnp.zeros_like(pos).at[..., 2].set(1.0)
+    dirs.append(up)
+    cands = jnp.stack([pos + d * reach for d in dirs], axis=-2)  # (N,C,3)
+    if world_min is not None:
+        r_c = radius[..., None, None]
+        cands = jnp.clip(cands, world_min + r_c, world_max - r_c)
+
+    if esdf is not None and radius is not None:
+        # straight-ray admissibility against the static world; the
+        # threshold is clamped to just under the agent's own clearance so
+        # a sub-margin pocket (where every ray fails at t=0) still
+        # rotates through candidates instead of freezing
+        S = 9
+        t = jnp.linspace(0.0, 1.0, S).astype(pos.dtype)
+        ray = pos[..., None, None, :] + \
+            (cands - pos[..., None, :])[..., None, :] * \
+            t[None, None, :, None]                         # (N, C, S, 3)
+        min_clear = jnp.min(esdf.at_points(ray), axis=-1)  # (N, C)
+        thr = jnp.minimum(radius[..., None] + 0.5 * p.world_resolution,
+                          min_clear[..., :1] - 1e-3)
+        valid = min_clear > thr
+    else:
+        valid = jnp.ones(cands.shape[:-1], bool)
+
+    # first valid candidate at-or-after the escalation phase (cyclic);
+    # fall back to the phase's raw candidate when none validates
+    idx0 = (phase_new - 1)[..., None]                       # (N, 1)
+    order = (jnp.arange(n_cand)[None, :] - idx0) % n_cand
+    score = jnp.where(valid, order, n_cand + order)
+    pick = jnp.argmin(score, axis=-1)                       # (N,)
+    waypoint = jnp.take_along_axis(
+        cands, pick[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
     rescue_goal = jnp.where(engage[..., None], waypoint, state.rescue_goal)
     return rescue_goal, active | engage, phase_new, stall_count
 
@@ -574,7 +619,10 @@ class SyncSimulator:
         if p.deadlock_rescue:
             rescue_goal, rescue_active, rescue_phase, stall_count = \
                 _update_rescue(state, pos, desired_goal, stall_count,
-                               progress, p)
+                               progress, p, esdf=self.esdf,
+                               radius=self.radius,
+                               world_min=self.world_min,
+                               world_max=self.world_max)
         else:
             rescue_goal, rescue_active, rescue_phase = _no_rescue(state)
 
@@ -637,7 +685,12 @@ class SyncSimulator:
             rescue_phase=rescue_phase,
         )
         info = CycleInfo(safety_step_min=safety_step, qp_cost=res.cost,
-                         primal_res=res.primal_res)
+                         primal_res=res.primal_res,
+                         warm_res=(res.warm_res if res.warm_res is not None
+                                   else jnp.zeros_like(res.cost)),
+                         warm_row=(res.warm_row if res.warm_row is not None
+                                   else jnp.zeros_like(res.cost,
+                                                       dtype=jnp.int32)))
         return new_state, info
 
     def _cycle_orca(self, state: SwarmState, pos, vel, acc, start,

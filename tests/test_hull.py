@@ -87,3 +87,32 @@ def test_float32_accuracy(rng):
     for b in range(50):
         _, d_exact = exact_min_norm_point(pts64[b])
         np.testing.assert_allclose(np.asarray(d32)[b], d_exact, atol=2e-3)
+
+
+def test_f32_no_spurious_inside_far_clusters(rng):
+    """Regression (round-2 1024-agent collisions): tightly-clustered
+    relative control points ~10-15 m from the origin -- the parallel-
+    trajectory LSC geometry -- must NOT trip the interior-point detector
+    in float32.  A spurious 'inside' zeroes the normal and poisons the
+    LSC planes by O(|p|)."""
+    centers = rng.normal(size=(512, 1, 3))
+    centers *= (4.0 + 12.0 * rng.random((512, 1, 1))) / \
+        np.linalg.norm(centers, axis=-1, keepdims=True)
+    pts = centers + 0.05 * rng.normal(size=(512, 6, 3))
+    normal, dist = hull.hull_normal(jnp.asarray(pts, dtype=jnp.float32))
+    dist = np.asarray(dist)
+    cnorm = np.linalg.norm(centers[:, 0], axis=-1)
+    # distance must be ~|center|, never zeroed by a fake interior verdict
+    assert (dist > cnorm - 0.5).all()
+    # and the supporting-plane property must hold: p_i . n >= dist - tol
+    margin = np.einsum("bkd,bd->bk", pts, np.asarray(normal))
+    assert (margin >= dist[:, None] - 1e-2).all()
+
+
+def test_f32_true_interior_still_detected(rng):
+    """Large symmetric hulls containing the origin must still be flagged
+    interior in float32 (dist -> 0) despite the tolerance hardening."""
+    half = rng.normal(size=(64, 3, 3)) * 10.0
+    pts = np.concatenate([half, -half], axis=1)
+    _, dist = hull.hull_normal(jnp.asarray(pts, dtype=jnp.float32))
+    assert np.asarray(dist).max() < 2e-2

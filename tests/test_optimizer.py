@@ -144,3 +144,23 @@ def test_qp_cost_matches_manual(rng):
                for m in range(p.M - T, p.M))
     manual = p.control_input_weight * jerk_cost + p.terminal_weight * term
     np.testing.assert_allclose(float(res.cost[0]), manual, rtol=1e-9)
+
+
+def test_extract_y_roundtrip_on_manifold(rng):
+    """extract_y must invert x = F y + G s0 exactly for on-manifold
+    trajectories (regression: scanning all x-rows for F[:,k]==1 picked the
+    determined point c[m][2], which carries a +1.0 continuity coefficient
+    on the free variable c[m-1][3], so every warm start was ~0.15 m off
+    the shifted previous solution)."""
+    for mode in (PlannerMode.LSC, PlannerMode.BVC):
+        p = _param(planner_mode=mode)
+        to = opt.TrajOptimizer(p)
+        N = 7
+        y = rng.normal(size=(N, 3, to.nf))
+        s0 = rng.normal(size=(N, 3, p.phi))
+        x = np.einsum("pf,nkf->nkp", to.F, y) + \
+            np.einsum("pj,nkj->nkp", to.G, s0)
+        traj = jnp.asarray(
+            x.reshape(N, 3, p.M, p.n + 1).transpose(0, 2, 3, 1))
+        y_ext = np.asarray(to.extract_y(traj)).reshape(N, 3, to.nf)
+        np.testing.assert_allclose(y_ext, y, atol=1e-10)
