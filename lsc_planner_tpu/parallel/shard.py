@@ -65,7 +65,7 @@ def state_specs(axes=AGENT_AXIS) -> SwarmState:
                       start=sharded, desired_goal=sharded,
                       safety_obs_min=rep, stall_count=sharded,
                       rescue_goal=sharded, rescue_active=sharded,
-                      rescue_phase=sharded)
+                      rescue_phase=sharded, slack_flags=sharded)
 
 
 def _ring_halo(x, halo: int, n_ring: int, axis: str = AGENT_AXIS):
@@ -248,7 +248,8 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
             start=state.start, desired_goal=state.desired_goal,
             safety_obs_min=state.safety_obs_min,
             stall_count=stall_count, rescue_goal=rescue_goal,
-            rescue_active=rescue_active, rescue_phase=rescue_phase)
+            rescue_active=rescue_active, rescue_phase=rescue_phase,
+            slack_flags=state.slack_flags)
         info = CycleInfo(safety_step_min=safety_step, qp_cost=res.cost,
                          primal_res=res.primal_res)
         return new_state, info

@@ -61,6 +61,11 @@ class SwarmState(NamedTuple):
     rescue_goal: jnp.ndarray   # (N, 3) latched deadlock-escape waypoint
     rescue_active: jnp.ndarray  # (N,) bool
     rescue_phase: jnp.ndarray  # (N,) int32 escalation phase (90/180/270)
+    # disturbance-reset marks from the last pose injection
+    # (obs_slack_indices analog, traj_planner.cpp:866-878): consumed by
+    # the next cycle's slack-relaxed QP, then cleared (the reference
+    # rebuilds the set per cycle from the prediction checks)
+    slack_flags: jnp.ndarray = None   # (N,) bool
 
 
 class CycleInfo(NamedTuple):
@@ -289,6 +294,7 @@ class SyncSimulator:
             rescue_goal=zeros,
             rescue_active=jnp.zeros((N,), bool),
             rescue_phase=jnp.zeros((N,), jnp.int32),
+            slack_flags=jnp.zeros((N,), bool),
         )
 
     # ------------------------------------------------------------------
@@ -409,7 +415,8 @@ class SyncSimulator:
                    sfc_seed=None, y_warm=None, dyn_pos=None, dyn_vel=None,
                    dyn_pred=None, rescue_goal=None, rescue_active=None,
                    obs_radius_global=None, obs_downwash_global=None,
-                   obs_maxacc_global=None):
+                   obs_maxacc_global=None, obs_slack_global=None,
+                   self_slack=None):
         """Plan one block of agents (L, ...) against the global obstacle
         view (N_total, ...).  Returns (QPResult, current_goal, sfc).
 
@@ -478,6 +485,8 @@ class SyncSimulator:
                 obs_max_acc = obs_maxacc_all[nbr]
             obs_is_agent = jnp.ones((L, K), bool)
             obs_mask = jnp.ones((L, K), bool)
+            obs_slack = (obs_slack_global[nbr]
+                         if obs_slack_global is not None else None)
         else:
             obs_pred = jnp.broadcast_to(pred_global[None],
                                         (L, O, M, n + 1, 3))
@@ -487,6 +496,8 @@ class SyncSimulator:
             obs_downwash = jnp.broadcast_to(obs_downwash_all[None, :],
                                             (L, O))
             obs_max_acc = jnp.broadcast_to(obs_maxacc_all[None, :], (L, O))
+            obs_slack = (jnp.broadcast_to(obs_slack_global[None, :], (L, O))
+                         if obs_slack_global is not None else None)
 
         # --- append mission dynamic obstacles (constant-velocity
         #     prediction for non-agents, traj_planner.cpp:838-847;
@@ -514,6 +525,12 @@ class SyncSimulator:
                 [obs_max_acc,
                  jnp.broadcast_to(self.obs_max_acc_dyn[None], (L, Od))],
                 axis=1)
+            if obs_slack is not None:
+                # host-built dynamic predictions start at the observed
+                # positions, so obstaclePredictionCheck never fires for
+                # them (traj_planner.cpp:866-878 deviation is zero)
+                obs_slack = jnp.concatenate(
+                    [obs_slack, jnp.zeros((L, Od), bool)], axis=1)
 
         from ..config import PredictionMode
         if p.prediction_mode in (PredictionMode.VELOCITY,
@@ -531,9 +548,27 @@ class SyncSimulator:
 
         slack_spec = None
         if p.planner_mode == PlannerMode.LSC:
+            slack_flags = sizes = None
+            if obs_slack is not None and self_slack is not None:
+                # disturbance path (traj_planner.cpp:1388-1400 +
+                # traj_optimizer.cpp:317-326): a deviated agent slacks
+                # ALL its obstacle rows; everyone slacks the deviated
+                # obstacle's rows; non-agent slack obstacles switch to
+                # the RSFC margin
+                slack_flags = (obs_slack | self_slack[:, None]) & obs_mask
+                sizes = pred.obstacle_size_prediction(
+                    obs_radius, obs_max_acc, M, n, p.dt,
+                    p.obs_uncertainty_horizon, p.obs_size_prediction)
+                from ..planner.optimizer import SlackSpec
+                slack_spec = SlackSpec(
+                    mode="collision", enable=slack_flags,
+                    n_slack_c=obs_pred.shape[1],
+                    weight=p.slack_collision_weight)
             planes = cons.lsc_planes(init, obs_pred, radius, downwash,
                                      obs_radius, obs_downwash,
-                                     obs_is_agent, obs_mask)
+                                     obs_is_agent, obs_mask,
+                                     slack_flags=slack_flags,
+                                     obs_pred_sizes=sizes)
         elif p.planner_mode == PlannerMode.BVC:
             planes = cons.bvc_planes(init, obs_pred, radius, downwash,
                                      obs_radius, obs_downwash,
@@ -637,6 +672,23 @@ class SyncSimulator:
         # SFC seed: the previous solution endpoint, or the current position
         # on (re-)initialization (traj_planner.cpp:1454-1473)
         sfc_initialize = ~state.sfc_initialized
+
+        # --- disturbance-reset slack path (experiment mode only; the
+        #     checks are dead weight in pure simulation where no external
+        #     poses are ever injected) ---
+        obs_slack_global = self_slack = None
+        if p.multisim_experiment and state.slack_flags is not None:
+            # own-deviation gate (initialTrajPlanningCheck,
+            # traj_planner.cpp:1047-1061): collapse the initial traj to
+            # the current position, re-seed the SFC, slack ALL obstacles
+            init, self_reset = pred.initial_traj_check(
+                init, pos, p.multisim_reset_threshold)
+            sfc_initialize = sfc_initialize | self_reset
+            self_slack = state.slack_flags | self_reset
+            # other-agent deviations (obstaclePredictionCheck analog,
+            # :866-878): inject_positions froze their trajectories, so
+            # the flags carry which obstacles need slack rows
+            obs_slack_global = state.slack_flags
         sfc_seed = jnp.where(sfc_initialize[:, None], pos,
                              state.traj[:, -1, -1, :])
         res, current_goal, sfc = self.plan_block(
@@ -652,7 +704,8 @@ class SyncSimulator:
             sfc_prev=state.sfc, sfc_initialize=sfc_initialize,
             sfc_seed=sfc_seed, dyn_pos=dyn_pos, dyn_vel=dyn_vel,
             dyn_pred=dyn_pred,
-            rescue_goal=rescue_goal, rescue_active=rescue_active)
+            rescue_goal=rescue_goal, rescue_active=rescue_active,
+            obs_slack_global=obs_slack_global, self_slack=self_slack)
 
         # safety audit + metrics over the upcoming time step
         # (savePlanningResult, multi_sync_simulator.cpp:446-503)
@@ -683,6 +736,8 @@ class SyncSimulator:
             stall_count=stall_count,
             rescue_goal=rescue_goal, rescue_active=rescue_active,
             rescue_phase=rescue_phase,
+            slack_flags=(jnp.zeros_like(state.slack_flags)
+                         if state.slack_flags is not None else None),
         )
         info = CycleInfo(safety_step_min=safety_step, qp_cost=res.cost,
                          primal_res=res.primal_res,
@@ -735,7 +790,8 @@ class SyncSimulator:
             stall_count=state.stall_count,
             rescue_goal=state.rescue_goal,
             rescue_active=state.rescue_active,
-            rescue_phase=state.rescue_phase)
+            rescue_phase=state.rescue_phase,
+            slack_flags=state.slack_flags)
         info = CycleInfo(safety_step_min=safety_step, qp_cost=zeros,
                          primal_res=zeros)
         return new_state, info
@@ -913,9 +969,15 @@ class SyncSimulator:
             > self.param.multisim_reset_threshold
         frozen = jnp.broadcast_to(real_pos[:, None, None, :],
                                   state.traj.shape)
+        slack = state.slack_flags
+        if slack is not None:
+            # mark the deviated agents for the next cycle's slack-relaxed
+            # QP (obs_slack_indices analog, traj_planner.cpp:866-878)
+            slack = slack | dev
         return state._replace(
             traj=jnp.where(dev[:, None, None, None], frozen, state.traj),
-            sfc_initialized=state.sfc_initialized & ~dev)
+            sfc_initialized=state.sfc_initialized & ~dev,
+            slack_flags=slack)
 
     def run(self, max_iterations: Optional[int] = None,
             log: Optional[object] = None,
