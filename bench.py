@@ -21,7 +21,7 @@ Three latency/throughput views per size, reported separately:
                           TPU tunnel RTT, ~25 ms on this host)
   pipelined_*             back-to-back dispatches, queue kept full
   fused_*                 k cycles per dispatch via lax.scan
-The headline uses the fused number and says so (headline_method).
+The headline picks the best method and names it (headline_method).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -48,7 +48,7 @@ def bench_size(qn: int, cycles: int = 30, warmup: int = 3,
     w = radius + 2.0
     mission = make_circle_mission(qn, radius=radius,
                                   world=(-w, -w, 0, w, w, 2.5))
-    param = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14,
+    param = Param(goal_mode=GoalMode.PRIOR_BASED,
                   max_neighbors=max_neighbors)
     sim = SyncSimulator(mission, param, dtype=jnp.float32)
     state = sim.initial_state()

@@ -85,8 +85,10 @@ def run_one(mission_path: str, args, param, world: str = None) -> dict:
     sim = SyncSimulator(mission, param, esdf=esdf, dtype=dtype)
     log = None
     if args.save_result:
+        # sim.O_dyn excludes mission `static` boxes (world geometry, not
+        # logged as moving obstacles)
         log = ResultLogger(args.log_dir, sim.param, mission.qn,
-                           mission.on)
+                           sim.O_dyn)
     summary = sim.run(max_iterations=args.max_iterations, log=log)
     summary.pop("final_state", None)
     if args.save_result:

@@ -110,7 +110,14 @@ class Param:
     # --- obstacle prediction (param.cpp:60-63) ---
     obs_size_prediction: bool = True
     obs_uncertainty_horizon: float = 1.0
+    # parsed by the reference (param.cpp:63) but never read anywhere in
+    # its code -- kept for config-key parity only
     obs_agent_clustering: bool = False
+    # per-agent obstacle observation noise stddev
+    # (updateObstaclesMsg, obstacle_generator.hpp:120-142; the
+    # reference's mainline call passes it commented out,
+    # multi_sync_simulator.cpp:259)
+    obs_observer_stddev: float = 0.0
 
     # --- trajectory representation (param.cpp:65-70) ---
     dt: float = 0.2
@@ -160,8 +167,14 @@ class Param:
     # Batched QP interior-point iterations (static for jit).  This is a
     # CAP: the fused TPU kernel exits early once every agent in a lane
     # tile reaches qp_tol_gap / qp_tol_rp (warm-started steady-state
-    # cycles typically converge in well under half the cap).
-    qp_iterations: int = 20
+    # cycles typically converge in well under half the cap).  The cap
+    # must leave headroom for CONGESTED cycles: at 14 iterations the
+    # solver returns feasible-but-suboptimal points in dense swarms
+    # (~1500 active-set-heavy rows) and the warm-start feedback locks
+    # agents into hover orbits short of their goals (empty-world
+    # 20-agent corpus missions never finished); 40 breaks every observed
+    # orbit while early exit keeps steady-state cycles cheap.
+    qp_iterations: int = 40
     # Early-exit tolerances for the fused IPM: complementarity gap and
     # max primal residual (rows are unit-norm equilibrated, so these are
     # in meters at the constraint surface).
@@ -170,6 +183,19 @@ class Param:
     # Fused single-launch Pallas IPM dispatch: "auto" (TPU/f32),
     # "off" (always the XLA factored-row path; diagnostic A/B switch).
     qp_fused_mode: str = "auto"
+    # QP failure surfacing (QPFAILED analog).  The reference throws from
+    # CPLEX, dumps the model + refined conflict, and aborts the whole
+    # run (traj_optimizer.cpp:99-144, multi_sync_simulator.cpp:325-327).
+    # Here an agent whose solution violates constraints beyond this
+    # threshold (meters at the unit-norm constraint surface) is reported
+    # QPFAILED -- and, because the LSC-shifted previous solution is
+    # feasible by construction, it falls back to that instead of flying
+    # the violating trajectory (graceful degradation the reference's
+    # abort-only design cannot offer).
+    qp_failure_threshold: float = 0.05
+    # Abort the run() loop on any QPFAILED report (strict reference
+    # behaviour); off by default since the fallback keeps the swarm safe.
+    multisim_abort_on_qp_failure: bool = False
     # Floor on the warm-start slacks (s0 = max(A y0 - b, s_min)).  Large
     # values re-center the iterate far from the warm point (robust but
     # slow to converge); small values keep the warm start's activity

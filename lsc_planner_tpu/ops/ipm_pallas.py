@@ -97,7 +97,7 @@ def _mm(a, b):
 
 
 def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
-                scale_ref, bpl_ref, Fseg_ref, FF_ref,
+                scale_ref, bpl_ref, Fseg_ref, FF_ref, valid_ref,
                 y_ref, lam_s_ref, lam_p_ref, gap_ref, l_scr,
                 *, iters: int, ndim: int, nf: int, Ru: int, C: int,
                 M: int, n1: int, reg: float, s_min: float,
@@ -135,6 +135,7 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
     bpl = bpl_ref[:]
     Fseg = Fseg_ref[:]
     FF = FF_ref[:]
+    valid = valid_ref[0]          # (B,) 1.0 = real agent, 0.0 = pad lane
     B = q.shape[-1]
 
     # scale folded into the normals once: plane row values become plain
@@ -296,6 +297,11 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
         # hoisted here so it costs nothing extra): every lane at
         # complementarity gap < tol_gap with primal residual < tol_rp.
         # A NaN-frozen lane reports converged=False and rides to the cap.
+        # Pad lanes (valid == 0: the dummy QPs filling the last partial
+        # tile) count as converged -- their identity-P/zero-q problems
+        # start at mu ~ 1 and would otherwise pin the whole tile to the
+        # iteration cap, silently disabling early exit for swarms
+        # smaller than the lane-tile size.
         su_n, plv_n = mv(y_n)
         mu_n = (_rowsum(s_sp_n * l_sp_n) + _rowsum(s_sm_n * l_sm_n) +
                 _rowsum(s_pl_n * l_pl_n)) / nr
@@ -303,7 +309,8 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
             _rowmax(jnp.abs(su_n - s_sp_n - bs[0])),
             jnp.maximum(_rowmax(jnp.abs(-su_n - s_sm_n - bs[1])),
                         _rowmax(jnp.abs(plv_n - s_pl_n - bpl))))
-        lane_done = ok & (mu_n < tol_gap) & (rpm < tol_rp)
+        lane_done = (valid < 0.5) | \
+            (ok & (mu_n < tol_gap) & (rpm < tol_rp))
         conv = (jnp.min(jnp.where(lane_done, 1.0, 0.0)) > 0.5)\
             .astype(jnp.int32)
 
@@ -380,6 +387,7 @@ def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
     nsc_l = lanes(nsc_e.reshape(N, 3, C * MI), (3, C * MI))
     scale_l = lanes(scale, (C * MI,))
     bpl_l = lanes(b_pl, (C * MI,), pad=-1.0)
+    valid_l = lanes(jnp.ones((N, 1), f32), (1,), pad=0.0)
 
     Fseg2 = jnp.asarray(F_seg, f32).reshape(MI, nf)
     FF2 = (Fseg2[:, :, None] * Fseg2[:, None, :]).reshape(MI, nf * nf)
@@ -409,7 +417,8 @@ def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
                   sspec((ndim, Ru, nf)), sspec((ndim, nf * nf, Ru)),
                   bspec((2, ndim * Ru)), bspec((3, C * MI)),
                   bspec((C * MI,)), bspec((C * MI,)),
-                  sspec((MI, nf)), sspec((MI, nf * nf))],
+                  sspec((MI, nf)), sspec((MI, nf * nf)),
+                  bspec((1,))],
         out_specs=(bspec((nv,)), bspec((2, ndim * Ru)), bspec((C * MI,)),
                    bspec((2,))),
         out_shape=(jax.ShapeDtypeStruct((nv, Np), f32),
@@ -420,7 +429,8 @@ def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(Pb_l, q_l, y0_l, U_j, UU, bs_l, nsc_l, scale_l, bpl_l, Fseg2, FF2)
+    )(Pb_l, q_l, y0_l, U_j, UU, bs_l, nsc_l, scale_l, bpl_l, Fseg2, FF2,
+      valid_l)
 
     y = jnp.moveaxis(y_l[..., :N], -1, 0)
     lam_s = jnp.moveaxis(lam_s_l[..., :N], -1, 0)

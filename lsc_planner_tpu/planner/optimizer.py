@@ -57,6 +57,7 @@ class QPResult(NamedTuple):
     slack: Optional[jnp.ndarray] = None   # (N, S) slack variables (<= 0)
     warm_res: Optional[jnp.ndarray] = None  # (N,) warm-start violation
     warm_row: Optional[jnp.ndarray] = None  # (N,) argmax row
+    lam: Optional[jnp.ndarray] = None       # (N, nr) inequality duals
 
 
 class SlackSpec(NamedTuple):
@@ -619,4 +620,5 @@ class TrajOptimizer:
         return QPResult(traj=traj, cost=cost, primal_res=sol.primal_res,
                         gap=sol.gap, y=y_sol, slack=slack_vals,
                         warm_res=getattr(sol, "warm_res", None),
-                        warm_row=getattr(sol, "warm_row", None))
+                        warm_row=getattr(sol, "warm_row", None),
+                        lam=sol.lam)

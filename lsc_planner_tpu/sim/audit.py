@@ -69,6 +69,23 @@ def obstacle_safety_ratio(pos, obs_pos, radius, obs_radius):
     return jnp.min(dist / (radius[:, None] + obs_radius[None, :]))
 
 
+def static_box_safety_ratio(pos, boxes, radius):
+    """Agent-vs-static-AABB safety: exact analytic box distance over
+    agent radius.  The reference audits obstacles by center distance
+    over summed radii (multi_sync_simulator.cpp:480-499) -- for a
+    `static` box whose msg radius is -1 that formula is meaningless
+    (obstacle.hpp:473), so the box closest-point form
+    (obstacle.hpp:437-478 / geometry.hpp:237-362) is used instead.
+
+    pos: (N, 3); boxes: (B, 6) [min, max]; radius: (N,).
+    """
+    lo, hi = boxes[:, :3], boxes[:, 3:]
+    q = jnp.maximum(jnp.maximum(lo[None] - pos[:, None],
+                                pos[:, None] - hi[None]), 0.0)
+    dist = jnp.linalg.norm(q, axis=-1)                  # (N, B)
+    return jnp.min(dist / radius[:, None])
+
+
 def continuous_safety_ratio(trajs, radius, downwash):
     """Continuous-time pairwise safety ratio over the whole horizon.
 

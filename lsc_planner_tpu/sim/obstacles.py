@@ -291,13 +291,25 @@ class ObstacleGenerator:
             self._pos[oi], self._vel[oi] = m.state(t)
         return self._pos, self._vel
 
-    def observed(self):
-        """Positions with injected Gaussian noise (the reference adds noise
-        per agent observation; seedable here)."""
-        if self.noise_std <= 0:
-            return self._pos.copy()
-        return self._pos + self.rng.normal(0, self.noise_std,
-                                           self._pos.shape)
+    def observed(self, n_observers: int = None):
+        """Positions with injected Gaussian observation noise
+        (updateObstaclesMsg, obstacle_generator.hpp:120-142 -- the
+        reference draws a FRESH noise sample for every agent's
+        ObstacleArray message, so each agent sees an independent
+        observation; seedable here).
+
+        n_observers None -> one shared sample (O, 3); n -> independent
+        per-agent samples (n, O, 3)."""
+        if n_observers is None:
+            if self.noise_std <= 0:
+                return self._pos.copy()
+            return self._pos + self.rng.normal(0, self.noise_std,
+                                               self._pos.shape)
+        out = np.broadcast_to(self._pos[None],
+                              (n_observers,) + self._pos.shape).copy()
+        if self.noise_std > 0:
+            out += self.rng.normal(0, self.noise_std, out.shape)
+        return out
 
     @property
     def radii(self):

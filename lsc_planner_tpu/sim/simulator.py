@@ -74,6 +74,7 @@ class CycleInfo(NamedTuple):
     primal_res: jnp.ndarray
     warm_res: jnp.ndarray = None   # (N,) warm-start max row violation
     warm_row: jnp.ndarray = None   # (N,) argmax row index of the above
+    qp_failed: jnp.ndarray = None  # (N,) bool QPFAILED report
 
 
 def _update_stall_count(prev_count, prev_pos, pos, vel, desired_goal,
@@ -225,6 +226,39 @@ class SyncSimulator:
         self.max_acc = jnp.asarray(arrs["max_acc"], dt)
         self.world_min = jnp.asarray(self.mission.world_min, dt)
         self.world_max = jnp.asarray(self.mission.world_max, dt)
+
+        # --- mission `static` AABB obstacles become world geometry ---
+        # The reference merges them into the planner's occupancy grid
+        # (grid_based_planner.cpp:125-160) and computes box closest
+        # points for constraints (obstacle.hpp:437-478); its LSC mode
+        # explicitly says "use octomap" for them
+        # (traj_planner.cpp:1375-1377).  Here they are folded into the
+        # ESDF (analytic, sub-voxel box distance), so the SFC corridor,
+        # wavefront grid planner, LOS checks, compatibility gate, and a
+        # dedicated exact box audit all see them; they are EXCLUDED from
+        # the dynamic-obstacle LSC path (no sphere approximation).
+        static_specs = [o for o in self.mission.obstacles
+                        if o.kind == "static"]
+        dyn_specs = [o for o in self.mission.obstacles
+                     if o.kind != "static"]
+        if static_specs:
+            boxes = np.stack([
+                np.concatenate([np.asarray(o.pose, float) -
+                                np.asarray(o.dimensions, float),
+                                np.asarray(o.pose, float) +
+                                np.asarray(o.dimensions, float)])
+                for o in static_specs])
+            self.static_boxes = jnp.asarray(boxes, dt)
+            if self.esdf is not None:
+                self.esdf = self.esdf.merge_boxes(boxes)
+            else:
+                from ..world.esdf import ESDF
+                self.esdf = ESDF.from_boxes(
+                    boxes, self.mission.world_min, self.mission.world_max,
+                    resolution=p.world_resolution, dtype=dt)
+        else:
+            self.static_boxes = jnp.zeros((0, 6), dt)
+
         self.corridor = None
         if self.esdf is not None:
             # mission/world compatibility gate: a start or goal inside the
@@ -248,13 +282,16 @@ class SyncSimulator:
                 agent_radius=float(self.mission.agents[0].radius),
                 dtype=self.dtype)
 
-        # dynamic obstacles (obstacle_generator.hpp analog)
+        # dynamic obstacles (obstacle_generator.hpp analog); static boxes
+        # were moved into the world geometry above
         self.obstacle_generator = None
-        self.O_dyn = self.mission.on
+        self.O_dyn = len(dyn_specs)
         if self.O_dyn:
+            import dataclasses as _dc
             from .obstacles import ObstacleGenerator
             self.obstacle_generator = ObstacleGenerator(
-                self.mission, noise_std=0.0)
+                _dc.replace(self.mission, obstacles=dyn_specs),
+                noise_std=p.obs_observer_stddev)
             self.obs_radius_dyn = jnp.asarray(
                 self.obstacle_generator.radii, dt)
             self.obs_downwash_dyn = jnp.asarray(
@@ -507,9 +544,12 @@ class SyncSimulator:
             if dyn_pred is None:
                 dyn_pred = pred.constant_velocity_traj(dyn_pos, dyn_vel,
                                                        M, n, p.dt)
-            obs_pred = jnp.concatenate(
-                [obs_pred, jnp.broadcast_to(dyn_pred[None],
-                                            (L, Od, M, n + 1, 3))], axis=1)
+            # dyn_pred may be shared (Od, M, n+1, 3) or already per-agent
+            # (L, Od, M, n+1, 3) -- the independent-observation KF path
+            dyn_pred_b = (jnp.broadcast_to(dyn_pred[None],
+                                           (L, Od, M, n + 1, 3))
+                          if dyn_pred.ndim == 4 else dyn_pred)
+            obs_pred = jnp.concatenate([obs_pred, dyn_pred_b], axis=1)
             obs_is_agent = jnp.concatenate(
                 [obs_is_agent, jnp.zeros((L, Od), bool)], axis=1)
             obs_mask = jnp.concatenate(
@@ -707,6 +747,16 @@ class SyncSimulator:
             rescue_goal=rescue_goal, rescue_active=rescue_active,
             obs_slack_global=obs_slack_global, self_slack=self_slack)
 
+        # QPFAILED report + feasible fallback (traj_optimizer.cpp:99-144
+        # analog): an agent whose QP output violates constraints beyond
+        # the threshold keeps its shifted previous solution -- feasible
+        # for EVERY LSC plane by construction -- instead of flying the
+        # violating trajectory.  One bad solve can then never poison the
+        # swarm through next cycle's predictions.
+        qp_failed = res.primal_res > p.qp_failure_threshold
+        res = res._replace(traj=jnp.where(qp_failed[:, None, None, None],
+                                          init, res.traj))
+
         # safety audit + metrics over the upcoming time step
         # (savePlanningResult, multi_sync_simulator.cpp:446-503)
         safety_step = audit.step_safety_ratio(
@@ -720,6 +770,11 @@ class SyncSimulator:
                 pos, dyn_pos, self.radius, self.obs_radius_dyn)
         else:
             obs_safety = jnp.asarray(np.inf, dt)
+        if self.static_boxes.shape[0]:
+            obs_safety = jnp.minimum(obs_safety,
+                                     audit.static_box_safety_ratio(
+                                         pos, self.static_boxes,
+                                         self.radius))
 
         new_state = SwarmState(
             traj=res.traj, pos=pos, vel=vel, acc=acc,
@@ -745,7 +800,8 @@ class SyncSimulator:
                                    else jnp.zeros_like(res.cost)),
                          warm_row=(res.warm_row if res.warm_row is not None
                                    else jnp.zeros_like(res.cost,
-                                                       dtype=jnp.int32)))
+                                                       dtype=jnp.int32)),
+                         qp_failed=qp_failed)
         return new_state, info
 
     def _cycle_orca(self, state: SwarmState, pos, vel, acc, start,
@@ -937,6 +993,46 @@ class SyncSimulator:
         return times
 
     # ------------------------------------------------------------------
+    def qp_violation_report(self, prev_state: SwarmState,
+                            state: SwarmState, top_k: int = 5) -> dict:
+        """Conflict-refinement analog (traj_optimizer.cpp:104-137 +
+        traj_planner.cpp:1556-1577): re-derive the cycle's LSC planes
+        from the pre-cycle state and report each failing agent's most
+        violated (obstacle, segment, ctrl point) rows -- the data the
+        reference writes to log/conflict.lp.  Host-side diagnostic."""
+        p = self.param
+        N = self.N
+        pos, vel, acc = self.propagate(prev_state)
+        init, prediction = self.predict_and_init(
+            prev_state.traj, pos, vel, prev_state.seq,
+            prev_goal=prev_state.current_goal)
+        obs_pred = jnp.broadcast_to(prediction[None],
+                                    (N, N, self.M, self.n + 1, 3))
+        planes = cons.lsc_planes(
+            init, obs_pred, self.radius, self.downwash,
+            jnp.broadcast_to(self.radius[None], (N, N)),
+            jnp.broadcast_to(self.downwash[None], (N, N)),
+            jnp.ones((N, N), bool), ~jnp.eye(N, dtype=bool))
+        # margins of the OUTPUT trajectory against every plane row
+        lhs = jnp.einsum("ncmd,nmid->ncmi", planes.normal, state.traj)
+        viol = jnp.where(planes.mask[..., None],
+                         planes.rhs - lhs, -jnp.inf)     # (N, C, M, n+1)
+        v = np.asarray(viol)
+        report = {}
+        failed = np.asarray(state.primal_res) > p.qp_failure_threshold
+        for qi in np.where(failed)[0]:
+            flat = v[qi].reshape(-1)
+            order = np.argsort(flat)[::-1][:top_k]
+            rows = []
+            for r in order:
+                c, rem = divmod(int(r), self.M * (self.n + 1))
+                m, i = divmod(rem, self.n + 1)
+                rows.append({"obstacle": c, "segment": m, "ctrl_pt": i,
+                             "violation": float(flat[r])})
+            report[int(qi)] = rows
+        return report
+
+    # ------------------------------------------------------------------
     def is_finished(self, state: SwarmState) -> bool:
         """All agents within goal_threshold of their desired goals
         (isFinished, multi_sync_simulator.cpp:358-380); never finishes in
@@ -1015,7 +1111,9 @@ class SyncSimulator:
         is_collided = False
         flight_time = float("nan")
         iters_done = 0
+        qp_failures = 0
         for it in range(max_iter):
+            prev_state = state
             t0 = time.perf_counter()
             if self.obstacle_generator is not None:
                 # host-side analytic obstacle evaluation
@@ -1030,22 +1128,43 @@ class SyncSimulator:
                         m.set_goal_point(host_pos[int(np.argmin(d))])
                 dp, dv = self.obstacle_generator.update(t_sim)
                 from ..config import PredictionMode as PM
+                dyn_pred = None
                 if p.prediction_mode == PM.LINEAR_KALMAN_FILTER:
                     # noisy observation -> filtered state
                     # (obstaclePredictionWithLinearKalmanFilter,
-                    # traj_planner.cpp:641-695)
+                    # traj_planner.cpp:641-695).  With observation noise
+                    # each agent runs its OWN filter on its OWN noisy
+                    # observation (the reference instantiates the KFs
+                    # inside every TrajPlanner and the generator draws
+                    # fresh noise per agent message); the per-agent
+                    # filtered states become per-agent predictions while
+                    # the audit keeps the true positions.
+                    per_agent = self.obstacle_generator.noise_std > 0
+                    n_f = self.N * self.O_dyn if per_agent else self.O_dyn
                     if not hasattr(self, "_kf"):
                         from .kalman import LinearKalmanFilter
                         self._kf = LinearKalmanFilter(
-                            self.O_dyn, p.filter_sigma_y_sq,
+                            n_f, p.filter_sigma_y_sq,
                             p.filter_sigma_v_sq, p.filter_sigma_a_sq)
-                    obs = self.obstacle_generator.observed()
-                    dp, dv = self._kf.filter(obs, t_sim)
+                    if per_agent:
+                        obs = self.obstacle_generator.observed(self.N)
+                        fp, fv = self._kf.filter(obs.reshape(-1, 3),
+                                                 t_sim)
+                        fp = jnp.asarray(
+                            fp.reshape(self.N, self.O_dyn, 3), self.dtype)
+                        fv = jnp.asarray(
+                            fv.reshape(self.N, self.O_dyn, 3), self.dtype)
+                        dyn_pred = pred.constant_velocity_traj(
+                            fp, fv, self.M, self.n, p.dt)
+                    else:
+                        obs = self.obstacle_generator.observed()
+                        dp, dv = self._kf.filter(obs, t_sim)
                 dyn_pos = jnp.asarray(dp, self.dtype)
                 dyn_vel = jnp.asarray(dv, self.dtype)
                 if p.prediction_mode == PM.ORACLE:
                     dyn_pred = jnp.asarray(
                         self._oracle_prediction(t_sim), self.dtype)
+                if dyn_pred is not None:
                     state, info = cycle(state, dyn_pos, dyn_vel, dyn_pred)
                 else:
                     state, info = cycle(state, dyn_pos, dyn_vel)
@@ -1056,8 +1175,30 @@ class SyncSimulator:
             iters_done = it + 1
             if float(info.safety_step_min) < 1.0:
                 is_collided = True
+            if getattr(info, "qp_failed", None) is not None:
+                n_failed = int(np.asarray(info.qp_failed).sum())
+                if n_failed:
+                    # QPFAILED surfacing (multi_sync_simulator.cpp:325-327
+                    # analog): report the conflicting rows; the cycle
+                    # already substituted the feasible previous solution
+                    # for the failing agents
+                    qp_failures += n_failed
+                    report = self.qp_violation_report(prev_state, state)
+                    print(f"[SyncSimulator] QPFAILED at cycle {it}, "
+                          f"agents {sorted(report)}; top violations: "
+                          f"{report}")
+                    if p.multisim_abort_on_qp_failure:
+                        print("[SyncSimulator] aborting run "
+                              "(multisim_abort_on_qp_failure)")
+                        break
             if log is not None:
-                log.record_cycle(self, state, plan_times[-1])
+                if self.obstacle_generator is not None:
+                    log.record_cycle(
+                        self, state, plan_times[-1],
+                        obstacles_pos=self.obstacle_generator._pos,
+                        obstacles_radius=self.obstacle_generator.radii)
+                else:
+                    log.record_cycle(self, state, plan_times[-1])
             if self.is_finished(state):
                 flight_time = iters_done * p.multisim_time_step
                 break
@@ -1076,7 +1217,8 @@ class SyncSimulator:
         pt = np.asarray(plan_times[1:]) if len(plan_times) > 1 else \
             np.asarray(plan_times)
         return self._summarize(state, pt, wall, iters_done, flight_time,
-                               is_collided, profile)
+                               is_collided, profile,
+                               qp_failures=qp_failures)
 
     def _run_fused(self, max_iterations, k: int, profile: bool) -> dict:
         """run() body for steps_per_dispatch = k > 1: blocks of k cycles
@@ -1091,6 +1233,7 @@ class SyncSimulator:
         is_collided = False
         flight_time = float("nan")
         iters_done = 0
+        qp_failures = 0
         for block in range((max_iter + k - 1) // k):
             t0 = time.perf_counter()
             state, (info, goal_dist, cum_dist) = multi(state)
@@ -1098,6 +1241,8 @@ class SyncSimulator:
             plan_times.append((time.perf_counter() - t0) / k)
             gd = np.asarray(goal_dist)
             safety = np.asarray(info.safety_step_min)
+            if getattr(info, "qp_failed", None) is not None:
+                qp_failures += int(np.asarray(info.qp_failed).sum())
             done = gd < p.goal_threshold
             if not p.multisim_patrol and done.any():
                 j = int(np.argmax(done))              # first finished cycle
@@ -1114,10 +1259,11 @@ class SyncSimulator:
         pt = np.asarray(plan_times[1:]) if len(plan_times) > 1 else \
             np.asarray(plan_times)
         return self._summarize(state, pt, wall, iters_done, flight_time,
-                               is_collided, profile)
+                               is_collided, profile,
+                               qp_failures=qp_failures)
 
     def _summarize(self, state, pt, wall, iters_done, flight_time,
-                   is_collided, profile) -> dict:
+                   is_collided, profile, qp_failures: int = 0) -> dict:
         p = self.param
         stage_times = {}
         if profile and self.param.planner_mode != PlannerMode.ORCA:
@@ -1133,6 +1279,7 @@ class SyncSimulator:
             "min_planning_time": float(pt.min()) if pt.size else 0.0,
             "max_planning_time": float(pt.max()) if pt.size else 0.0,
             "iterations": iters_done,
+            "qp_failures": qp_failures,
             "wall_time": wall,
             "planner_mode": p.planner_mode_str(),
             "final_state": state,

@@ -88,6 +88,52 @@ class ESDF:
         return cls.from_occupancy(occ, k0, tree.resolution, max_dist,
                                   dtype)
 
+    @classmethod
+    def from_boxes(cls, boxes, world_min, world_max,
+                   resolution: float = 0.1, max_dist: float = 1.0,
+                   dtype=jnp.float32) -> "ESDF":
+        """Synthesize a distance field from mission `static` AABB
+        obstacles alone (empty-world missions with walls).  The reference
+        merges such boxes into the planner's occupancy grid
+        (grid_based_planner.cpp:125-160); here they become first-class
+        world geometry so the SFC corridor, wavefront grid planner, LOS
+        checks, and mission-compatibility gate all see them."""
+        world_min = np.asarray(world_min, np.float64)
+        world_max = np.asarray(world_max, np.float64)
+        k0 = np.floor(world_min / resolution).astype(np.int64)
+        k1 = np.floor(world_max / resolution).astype(np.int64)
+        dims = k1 - k0 + 1
+        occ = np.zeros(tuple(dims), bool)
+        base = cls(dist=jnp.full(tuple(dims), max_dist, dtype),
+                   origin_key=k0, resolution=float(resolution),
+                   max_dist=float(max_dist), occ=occ)
+        return base.merge_boxes(boxes)
+
+    def merge_boxes(self, boxes) -> "ESDF":
+        """Fold AABB obstacles into this field: dist' = min(dist,
+        analytic box distance) -- exact (sub-voxel) where the rasterized
+        EDT is only cell-accurate -- and occ' marks interior cells."""
+        boxes = np.asarray(boxes, np.float64).reshape(-1, 6)
+        if boxes.shape[0] == 0:
+            return self
+        X, Y, Z = self.dist.shape
+        res = self.resolution
+        centers = (np.stack(np.meshgrid(
+            np.arange(X), np.arange(Y), np.arange(Z), indexing="ij"),
+            axis=-1) + 0.5 + self.origin_key) * res      # (X, Y, Z, 3)
+        d = np.asarray(self.dist, np.float64)
+        occ = (self.occ.copy() if self.occ is not None
+               else np.zeros((X, Y, Z), bool))
+        for lo_hi in boxes:
+            lo, hi = lo_hi[:3], lo_hi[3:]
+            q = np.maximum(np.maximum(lo - centers, centers - hi), 0.0)
+            bd = np.sqrt(np.sum(q * q, axis=-1))
+            d = np.minimum(d, bd)
+            occ |= bd <= 0.0
+        return dataclasses.replace(
+            self, dist=jnp.asarray(np.minimum(d, self.max_dist),
+                                   self.dist.dtype), occ=occ)
+
     # ------------------------------------------------------------------
     def at_points(self, pts):
         """getDistance at metric points (..., 3): nearest-cell lookup with

@@ -159,7 +159,7 @@ def main():
         jax.config.update("jax_enable_x64", True)
 
     from lsc_planner_tpu.config import Param, GoalMode
-    param = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14)
+    param = Param(goal_mode=GoalMode.PRIOR_BASED)
 
     runs = mission_list(args.scenario)
     if args.qn:
@@ -215,7 +215,7 @@ def main():
             f"testall_* sweep sets) through the TPU-native pipeline.\n"
             f"platform={jax.default_backend()}, dtype={args.dtype}, "
             f"steps_per_dispatch={args.steps_per_dispatch}, "
-            f"qp_iterations=14, goal_mode=prior_based, LSC.\n"
+            f"qp_iterations=default(40 cap, early exit), goal_mode=prior_based, LSC.\n"
             f"success = finished within cap AND zero collisions AND "
             f"min safety ratio >= 1.\n\n{md}\n")
     print(md)

@@ -212,3 +212,87 @@ def test_continuous_safety_ratio_lower_bounds_sampled(rng):
     sampled = float(ratio.min())
     assert cont <= sampled + 1e-9
     assert cont >= sampled - 1e-3
+
+
+# --- geometry parity tail (geometry.hpp:172-235, :497-551, :553-708) ---
+
+def test_segment_segment_closest_points(rng):
+    """Exact clamped parametric solution vs a dense-sampling oracle."""
+    from lsc_planner_tpu.ops import geometry as geo
+    import jax.numpy as jnp
+    a0 = rng.normal(size=(40, 3)); a1 = rng.normal(size=(40, 3))
+    b0 = rng.normal(size=(40, 3)); b1 = rng.normal(size=(40, 3))
+    pa, pb, dist = geo.closest_between_segments(
+        jnp.asarray(a0), jnp.asarray(a1), jnp.asarray(b0),
+        jnp.asarray(b1))
+    ts = np.linspace(0, 1, 401)
+    for k in range(40):
+        P = a0[k][None] + ts[:, None] * (a1[k] - a0[k])[None]
+        Q = b0[k][None] + ts[:, None] * (b1[k] - b0[k])[None]
+        d_oracle = np.min(np.linalg.norm(P[:, None] - Q[None], axis=-1))
+        assert float(dist[k]) <= d_oracle + 1e-9
+        # returned points lie on the segments and realize the distance
+        np.testing.assert_allclose(
+            float(jnp.linalg.norm(pa[k] - pb[k])), float(dist[k]),
+            atol=1e-9)
+
+
+def test_segment_box_collision_golden():
+    from lsc_planner_tpu.ops import geometry as geo
+    import jax.numpy as jnp
+    bmin = jnp.asarray([[-1.0, -1.0, -1.0]])
+    bmax = jnp.asarray([[1.0, 1.0, 1.0]])
+    r = jnp.asarray([0.25])
+    # straight through the box
+    assert bool(geo.segment_box_collision(
+        jnp.asarray([[-3.0, 0, 0]]), jnp.asarray([[3.0, 0, 0]]),
+        bmin, bmax, r)[0])
+    # grazing the inflated corner diagonally OUTSIDE the true swept
+    # sphere: passes the slab test but not the exact distance check
+    assert not bool(geo.segment_box_collision(
+        jnp.asarray([[-3.0, 1.23, 1.23]]), jnp.asarray([[3.0, 1.23, 1.23]]),
+        bmin, bmax, r)[0])
+    # parallel to a face just inside the margin
+    assert bool(geo.segment_box_collision(
+        jnp.asarray([[-3.0, 1.2, 0.0]]), jnp.asarray([[3.0, 1.2, 0.0]]),
+        bmin, bmax, r)[0])
+    # static point far away
+    assert not bool(geo.segment_box_collision(
+        jnp.asarray([[4.0, 0, 0]]), jnp.asarray([[4.0, 0, 0]]),
+        bmin, bmax, r)[0])
+
+
+def test_box_collision_time_golden():
+    from lsc_planner_tpu.ops import geometry as geo
+    import jax.numpy as jnp
+    bmin = jnp.asarray([1.0, -1.0, -1.0])
+    bmax = jnp.asarray([2.0, 1.0, 1.0])
+    r = jnp.asarray(0.5)
+    # head-on along +x from x=-1: face at 1, inflated face at 0.5;
+    # travel 4 m over horizon 1 -> hits sphere-contact at t = 1.5/4
+    t = geo.box_collision_time(jnp.asarray([-1.0, 0, 0]),
+                               jnp.asarray([3.0, 0, 0]),
+                               bmin, bmax, r, 1.0)
+    np.testing.assert_allclose(float(t), 1.5 / 4.0, atol=1e-6)
+    # miss
+    t = geo.box_collision_time(jnp.asarray([-1.0, 3.0, 0]),
+                               jnp.asarray([3.0, 3.0, 0]),
+                               bmin, bmax, r, 1.0)
+    assert np.isinf(float(t))
+
+
+def test_safe_dist_in_direction_golden():
+    from lsc_planner_tpu.ops import geometry as geo
+    import jax.numpy as jnp
+    pos = jnp.asarray([0.0, 0.0, 0.0])
+    dirn = jnp.asarray([1.0, 0.0, 0.0])
+    obs = jnp.asarray([[3.0, 0.3, 0.0], [10.0, 5.0, 0.0]])
+    orad = jnp.asarray([0.2, 0.2])
+    r = jnp.asarray(0.2)
+    # r_sum = 0.4, perp = 0.3 -> backoff = sqrt(0.16 - 0.09) = 0.2646
+    d = geo.safe_dist_in_direction(pos, dirn, obs, orad, r)
+    np.testing.assert_allclose(float(d), 3.0 - np.sqrt(0.07), atol=1e-6)
+    # with a box 2 m ahead (face at 2, inflated 1.8)
+    boxes = jnp.asarray([[2.0, -1.0, -1.0, 4.0, 1.0, 1.0]])
+    d = geo.safe_dist_in_direction(pos, dirn, obs, orad, r, boxes=boxes)
+    np.testing.assert_allclose(float(d), 1.8, atol=1e-5)

@@ -80,3 +80,25 @@ def test_no_slack_graph_outside_experiment_mode():
     for _ in range(3):
         state, _ = sim._cycle_jit(state)
     assert not np.asarray(state.slack_flags).any()
+
+
+def test_qp_failure_surfacing():
+    """QPFAILED analog: with an absurdly tight failure threshold every
+    solve reports failure -- the run must substitute the feasible
+    previous solution, count failures in the summary, emit a violation
+    report, and honor the abort flag."""
+    param = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14,
+                  qp_failure_threshold=-1.0,
+                  multisim_abort_on_qp_failure=True)
+    mission = make_square_mission(4)
+    sim = SyncSimulator(mission, param, dtype=jnp.float64)
+    summary = sim.run(max_iterations=10)
+    assert summary["qp_failures"] > 0
+    assert summary["iterations"] <= 2          # aborted on first failure
+    # report helper returns per-agent top rows
+    state = sim.initial_state()
+    state1, info = sim._cycle_jit(state)
+    rep = sim.qp_violation_report(state, state1)
+    for rows in rep.values():
+        assert all({"obstacle", "segment", "ctrl_pt",
+                    "violation"} <= set(r) for r in rows)

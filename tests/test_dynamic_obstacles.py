@@ -57,3 +57,23 @@ def test_obstacle_safety_improves_with_oracle():
         sim.param.prediction_mode = pmode
         sims[name] = sim.run(max_iterations=250)["safety_ratio_obs"]
     assert sims["oracle"] >= sims["prev"] - 0.05
+
+
+def test_per_agent_observation_noise_kf():
+    """With obs_observer_stddev > 0 each agent filters its OWN noisy
+    observation (updateObstaclesMsg draws fresh noise per agent message,
+    obstacle_generator.hpp:120-142); observations must differ across
+    agents and the swarm must still complete near-safely."""
+    p = Param(goal_mode=GoalMode.STATIC, qp_iterations=12,
+              obs_observer_stddev=0.02)
+    sim = SyncSimulator(obstacle_mission(), p, dtype=jnp.float64)
+    sim.param.prediction_mode = PredictionMode.LINEAR_KALMAN_FILTER
+    # independent per-agent samples
+    sim.obstacle_generator.update(0.0)
+    obs = sim.obstacle_generator.observed(2)
+    assert obs.shape == (2, sim.O_dyn, 3)
+    assert not np.allclose(obs[0], obs[1])
+    summary = sim.run(max_iterations=250)
+    assert summary["iterations"] < 250
+    assert summary["safety_ratio_agent"] >= 1.0
+    assert summary["safety_ratio_obs"] > 0.8, summary["safety_ratio_obs"]
