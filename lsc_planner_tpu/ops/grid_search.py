@@ -338,14 +338,22 @@ class GridPlanner:
             return sel
         # Path-floor (robustness extension beyond the reference, which
         # freezes in EDT-discretization pockets -- README.md:70-75): when
-        # no LOS ray admits real progress, steer toward the first few
-        # grid-path cells anyway.  Path cells carry >= radius +
-        # grid_margin clearance by construction and consecutive cells
-        # are adjacent, so following them is how a wedged agent backs
-        # out of / climbs over a pocket; actual safety is still enforced
-        # by the SFC constraints in the QP, the sub-goal only steers.
+        # no LOS ray admits real progress AND the grid path offers a
+        # farther steering point than the degenerate LOS selection,
+        # steer toward the first few path cells.  Path cells carry
+        # >= radius + grid_margin clearance by construction and
+        # consecutive cells are adjacent, so following them is how a
+        # wedged agent backs out of / climbs over a pocket; actual
+        # safety is still enforced by the SFC constraints in the QP.
+        # The farther-than-sel condition keeps the healthy endgame
+        # intact: within 0.3 m of the goal nothing "moves", but the LOS
+        # selection IS the goal and must not be floored to the agent's
+        # own cell.
         floor_pt = pts[:, min(2, P - 1), :]
-        return jnp.where(any_moved[:, None], sel, floor_pt)
+        sel_d = jnp.linalg.norm(sel - init_end, axis=-1)
+        floor_d = jnp.linalg.norm(floor_pt - init_end, axis=-1)
+        prefer_floor = (~any_moved) & (floor_d > sel_d)
+        return jnp.where(prefer_floor[:, None], floor_pt, sel)
 
     # ------------------------------------------------------------------
     def plan_goals(self, pos, init_end, desired_goal, radius, downwash,

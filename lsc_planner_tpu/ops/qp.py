@@ -79,12 +79,20 @@ def _chol_solve(L, rhs):
     return x[..., 0]
 
 
-def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min):
+def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
+         tol_gap: float = 0.0, tol_rp: float = 0.0):
     """Shared Mehrotra predictor-corrector core.
 
     mv(y) -> (N, nr) = A y;  rmv(w) -> (N, nv) = A^T w;
     gram(d) -> (N, nv, nv) = A^T diag(d) A.  Rows must arrive
     pre-equilibrated (unit-ish row norms) and pre-masked.
+
+    `iters` is a CAP when tol_gap/tol_rp > 0: the loop exits once EVERY
+    instance reaches complementarity gap < tol_gap with primal residual
+    < tol_rp (same contract as the fused Pallas kernel) -- warm-started
+    steady-state cycles converge in well under half the cap, and the
+    cap provides headroom for congested cycles where 14 fixed
+    iterations return feasible-but-suboptimal points.
     """
     dtype = P.dtype
     nv = P.shape[-1]
@@ -119,12 +127,17 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min):
         alpha = jnp.min(ratio, axis=-1)
         return jnp.minimum(1.0, tau * alpha)
 
-    def body(carry, _):
-        y, lam, s = carry
+    def body(carry):
+        it, _, y, lam, s = carry
         Ay = mv(y)
         r_d = jnp.einsum("...vw,...w->...v", P, y) + q - rmv(lam)
         r_p = Ay - s - b
         mu = jnp.mean(s * lam, axis=-1)
+        # convergence of the CURRENT iterate (checked before stepping so
+        # the flag lags one iteration; the while cond consumes it)
+        done = jnp.all((mu < tol_gap) &
+                       (jnp.max(jnp.abs(r_p), axis=-1) < tol_rp)) \
+            if (tol_gap > 0.0 and tol_rp > 0.0) else jnp.asarray(False)
 
         D = lam / s
         H = P + gram(D)
@@ -177,9 +190,12 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min):
         y = jnp.where(ok[..., None], y_n, y)
         s = jnp.where(ok[..., None], s_n, s)
         lam = jnp.where(ok[..., None], lam_n, lam)
-        return (y, lam, s), None
+        return (it + 1, done, y, lam, s)
 
-    (y, lam, s), _ = jax.lax.scan(body, (y0, lam0, s0), None, length=iters)
+    carry = (jnp.zeros((), jnp.int32), jnp.asarray(False), y0, lam0, s0)
+    _, _, y, lam, s = jax.lax.while_loop(
+        lambda c: jnp.logical_and(c[0] < iters, jnp.logical_not(c[1])),
+        body, carry)
 
     obj = 0.5 * jnp.einsum("...v,...vw,...w->...", y, P, y) + \
         jnp.einsum("...v,...v->...", q, y)
@@ -393,7 +409,8 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
                               primal_res=primal_res, gap=gap,
                               warm_res=warm_res, warm_row=warm_row)
 
-        sol = _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min)
+        sol = _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
+                   tol_gap=tol_gap, tol_rp=tol_rp)
         return sol._replace(warm_res=warm_res, warm_row=warm_row)
 
 

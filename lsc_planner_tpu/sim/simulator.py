@@ -136,15 +136,23 @@ def _update_rescue(state, pos, desired_goal, stall_count, progress, p,
     phase = jnp.where(progress, 0, state.rescue_phase)
     active = state.rescue_active & ~progress & ~reached
 
-    over = stall_count > p.deadlock_seq_threshold
-    expire = active & over
-    active = active & ~expire
-    engage = over & ~active
-    stall_count = jnp.where(engage, 0, stall_count)
-    phase_new = jnp.where(engage, phase % n_cand + 1, phase)  # 1..n_cand
     gdir = desired_goal - pos
     gnorm = jnp.linalg.norm(gdir, axis=-1, keepdims=True)
     reach = jnp.minimum(gnorm, p.goal_radius)                 # (N, 1)
+
+    over = stall_count > p.deadlock_seq_threshold
+    expire = active & over
+    active = active & ~expire
+    # Never engage NEAR the goal: a smooth final approach decelerates
+    # below the stall velocity threshold while still > goal_threshold
+    # out, and a rescue waypoint there (reach ~ gd, rotated) drags the
+    # agent away from a goal nothing blocks -- observed as a permanent
+    # 0.1-0.2 m hover on the forest corpus missions.  True blockage that
+    # close is the priority back-away rule's job, not the rescue's.
+    far = gnorm[..., 0] > 3.0 * p.goal_threshold
+    engage = over & ~active & far
+    stall_count = jnp.where(engage, 0, stall_count)
+    phase_new = jnp.where(engage, phase % n_cand + 1, phase)  # 1..n_cand
 
     dirs = []
     for k in range(1, n_cand):                                # rotations

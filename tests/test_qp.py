@@ -138,7 +138,7 @@ def test_blocked_static_gram_matches_generic(rng):
     rhs = rng.normal(size=(N, C, M, n1)) - 3.0
     mask = rng.uniform(size=(N, C, M, n1)) > 0.3
 
-    kw = dict(y0=None, iters=20)
+    kw = dict(y0=None, iters=20, tol_gap=0.0, tol_rp=0.0)
     generic = qp.solve_qp_lsc(
         jnp.asarray(P), jnp.asarray(q), jnp.asarray(A_st),
         jnp.asarray(b_st), jnp.asarray(normal), jnp.asarray(rhs),
@@ -184,14 +184,13 @@ def test_fused_pallas_ipm_matches_xla_path(rng):
               jnp.asarray(b_st), jnp.asarray(normal), jnp.asarray(rhs),
               jnp.asarray(mask), jnp.asarray(F_seg)]
     kw = dict(y0=jnp.asarray(y0), iters=15,
-              static_blocks=opt.static_blocked)
+              static_blocks=opt.static_blocked, tol_gap=0.0, tol_rp=0.0)
     ref = qp.solve_qp_lsc(*common, **kw, fused_mode="off")
-    # tol 0 disables the fused path's early exit so both run the full 15
-    # iterations (the equivalence contract); early-exit quality has its
-    # own test below
+    # tol 0 (in kw) disables early exit on both paths so they run the
+    # full 15 iterations (the equivalence contract); early-exit quality
+    # has its own check below
     fused = qp.solve_qp_lsc(*common, **kw, P_blk=jnp.asarray(P_blk),
-                            fused_mode="interpret", tol_gap=0.0,
-                            tol_rp=0.0)
+                            fused_mode="interpret")
     np.testing.assert_allclose(np.asarray(fused.y), np.asarray(ref.y),
                                rtol=5e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(fused.obj), np.asarray(ref.obj),
@@ -207,7 +206,8 @@ def test_fused_pallas_ipm_matches_xla_path(rng):
     # --- early exit: at the production tolerances the solve must stop
     # early on this small problem yet stay primal-feasible and within
     # ~gap-level optimality of the full-cap solution ---
-    early = qp.solve_qp_lsc(*common, **kw, P_blk=jnp.asarray(P_blk),
+    kw_e = {k: v for k, v in kw.items() if not k.startswith("tol_")}
+    early = qp.solve_qp_lsc(*common, **kw_e, P_blk=jnp.asarray(P_blk),
                             fused_mode="interpret", tol_gap=1e-3,
                             tol_rp=1e-4)
     assert float(jnp.max(early.primal_res)) < 1e-4
@@ -269,7 +269,8 @@ def test_factored_lsc_matches_dense(rng):
     fact = qp.solve_qp_lsc(jnp.asarray(P), jnp.asarray(q),
                            jnp.asarray(A_st), jnp.asarray(b_st),
                            jnp.asarray(normal), jnp.asarray(rhs),
-                           jnp.asarray(mask), jnp.asarray(F_seg), iters=25)
+                           jnp.asarray(mask), jnp.asarray(F_seg),
+                           iters=25, tol_gap=0.0, tol_rp=0.0)
     # both paths approach the same optimum; masked-row bookkeeping
     # perturbs the Mehrotra centering slightly, so compare at the
     # convergence tolerance rather than bitwise

@@ -45,8 +45,11 @@ def test_circle20_empty_world():
 @pytest.mark.skipif(not os.path.exists(MISSION),
                     reason="reference assets not mounted")
 def test_square16_forest_benchmark():
+    # production iteration cap: at 14 the IPM returns suboptimal points
+    # in the tight forest corridors and agents stall short of goals; the
+    # early exit keeps converged cycles cheap
     param = Param(goal_mode=GoalMode.PRIOR_BASED, world_use_octomap=True,
-                  qp_iterations=14, multisim_max_noise=0.02)
+                  multisim_max_noise=0.02)
     mission = load_mission(MISSION, param,
                            rng=np.random.default_rng(11))
     esdf = ESDF.from_bt(WORLD, mission.world_min, mission.world_max,

@@ -18,9 +18,16 @@ def mesh():
     return pshard.make_mesh(8)
 
 
+# NOTE: the exact-parity tests below pin qp_tol_gap/rp = 0 (no early
+# exit): the exit test is batch-global, so a sharded run (per-shard
+# batches) and a single-chip run (global batch) could stop at different
+# iteration counts and diverge at the exit-tolerance level.
+
+
 def test_sharded_cycle_matches_single(mesh):
     mission = make_circle_mission(16, radius=4.0)
-    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14)
+    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14,
+              qp_tol_gap=0.0, qp_tol_rp=0.0)
     sim = SyncSimulator(mission, p, dtype=jnp.float64)
     cycle_sharded = pshard.make_sharded_cycle(sim, mesh)
 
@@ -44,7 +51,8 @@ def test_ring_halo_full_window_matches_all_gather(mesh):
     differs, hence tolerance instead of bitwise)."""
     mesh7 = pshard.make_mesh(7)
     mission = make_circle_mission(14, radius=4.0)
-    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14)
+    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14,
+              qp_tol_gap=0.0, qp_tol_rp=0.0)
     sim = SyncSimulator(mission, p, dtype=jnp.float64)
     cycle_full = pshard.make_sharded_cycle(sim, mesh7)
     cycle_halo = pshard.make_sharded_cycle(sim, mesh7, halo_shards=3)
@@ -111,7 +119,8 @@ def test_morton_sort_orders_spatially():
 def test_sharded_run_completes(mesh):
     mission = make_circle_mission(8, radius=3.0,
                                   world=(-5, -5, 0, 5, 5, 2.5))
-    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14)
+    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14,
+              qp_tol_gap=0.0, qp_tol_rp=0.0)
     sim = SyncSimulator(mission, p, dtype=jnp.float64)
     cycle = pshard.make_sharded_cycle(sim, mesh)
     # run with host loop but sharded cycle
@@ -131,7 +140,8 @@ def test_mesh2d_all_gather_matches_single(mesh):
     to the single-device cycle (host-major agent order is the identity)."""
     mesh2d = pshard.make_mesh_2d(2, 4)
     mission = make_circle_mission(16, radius=4.0)
-    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14)
+    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14,
+              qp_tol_gap=0.0, qp_tol_rp=0.0)
     sim = SyncSimulator(mission, p, dtype=jnp.float64)
     cycle2d = pshard.make_sharded_cycle(sim, mesh2d)
 
@@ -152,7 +162,8 @@ def test_mesh2d_host_halo_full_window_matches(mesh):
     the full all_gather cycle up to constraint-row ordering."""
     mesh2d = pshard.make_mesh_2d(3, 2)
     mission = make_circle_mission(12, radius=4.0)
-    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14)
+    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14,
+              qp_tol_gap=0.0, qp_tol_rp=0.0)
     sim = SyncSimulator(mission, p, dtype=jnp.float64)
     cycle_full = pshard.make_sharded_cycle(sim, mesh2d)
     cycle_halo = pshard.make_sharded_cycle(sim, mesh2d, halo_shards=1)
