@@ -58,11 +58,15 @@ def bench_size(qn: int, cycles: int = 30, warmup: int = 3,
     state.traj.block_until_ready()
 
     times = []
+    knn_overflow_max = 0
     for _ in range(cycles):
         t0 = time.perf_counter()
         state, info = sim._cycle_jit(state)
         state.traj.block_until_ready()
         times.append(time.perf_counter() - t0)
+        if getattr(info, "knn_overflow", None) is not None:
+            knn_overflow_max = max(knn_overflow_max, int(np.asarray(
+                info.knn_overflow).sum()))
     times = np.asarray(times)
 
     # pipelined throughput: back-to-back receding-horizon cycles with the
@@ -105,6 +109,7 @@ def bench_size(qn: int, cycles: int = 30, warmup: int = 3,
         "fused_agent_cycles_per_s": float(qn / fused),
         "steps_per_dispatch": fuse,
         "max_neighbors": max_neighbors,
+        "knn_overflow_max": knn_overflow_max,
         "finite": ok,
         "min_safety": min_safety,
         "success": ok and min_safety >= 1.0,

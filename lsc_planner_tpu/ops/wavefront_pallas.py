@@ -96,6 +96,15 @@ def wavefront_batched(occ_zyx, goal_zyx, max_iters: int = 512,
     goal_zyx (N, 3) int32 (z, y, x) -> D (N, Z, Y, X) f32 with BIG as
     unreachable."""
     N, Z, Y, X = occ_zyx.shape
+    # the whole (N, 3) goal table rides in SMEM per grid step; SMEM is a
+    # small scalar memory (~1 MB), so cap the agent count well below it
+    # (12 bytes/agent: 1024 agents = 12 KB).  If swarms beyond ~64k
+    # agents ever need this kernel, chunk the goal table into 8-row
+    # blocks indexed by n // 8 instead of loading all N rows.
+    if N * 3 * 4 > 768 * 1024:
+        raise ValueError(
+            f"wavefront goal table for N={N} agents exceeds the SMEM "
+            "budget; chunk the goal rows (see comment) or split the batch")
     kernel = partial(_wavefront_kernel, max_iters=max_iters)
     return pl.pallas_call(
         kernel,

@@ -211,7 +211,7 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
         sfc_initialize = ~state.sfc_initialized
         sfc_seed = jnp.where(sfc_initialize[:, None], pos_l,
                              state.traj[:, -1, -1, :])
-        res, current_goal, sfc = sim.plan_block(
+        res, current_goal, sfc, _knn_ovf = sim.plan_block(
             pos_l, vel_l, acc_l, init_l, state.seq,
             pred_global=pred_g, obs_pos_global=pos_g,
             obs_goal_global=goal_g,
@@ -324,3 +324,63 @@ def shard_state(state: SwarmState, mesh: Mesh) -> SwarmState:
     return jax.tree.map(
         lambda x, s: jax.device_put(
             x, jax.sharding.NamedSharding(mesh, s)), state, specs)
+
+
+def profile_sharded(sim: SyncSimulator, mesh: Mesh,
+                    halo_shards: Optional[int] = None,
+                    n_cycles: int = 5) -> dict:
+    """Per-stage device timing for the SHARDED cycle (the multi-chip
+    counterpart of SyncSimulator.profile_stages, reference stage taxonomy
+    include/sp_const.hpp:89-128).
+
+    The fused production cycle has no stage boundaries, so -- like the
+    single-chip profiler -- each number times a separately-jitted
+    shard_map program: the neighbour-trajectory exchange (all_gather or
+    ring halo: THE communication step, the reference's ROS-topic
+    analog), the full cycle, and the derived local-compute share.
+    Returns times in seconds per cycle.
+    """
+    import time as _time
+
+    p = sim.param
+    two_level = tuple(mesh.axis_names) == (HOST_AXIS, AGENT_AXIS)
+    axes = (HOST_AXIS, AGENT_AXIS) if two_level else AGENT_AXIS
+    n_dev = mesh.devices.size
+    specs = state_specs(axes)
+    cycle = make_sharded_cycle(sim, mesh, halo_shards=halo_shards)
+    state = shard_state(sim.initial_state(), mesh)
+
+    def exchange(state: SwarmState):
+        pred_l = state.traj
+        if halo_shards is None:
+            return jax.lax.all_gather(pred_l, axes, tiled=True)
+        if two_level:
+            xg = jax.lax.all_gather(pred_l, AGENT_AXIS, tiled=True)
+            return _ring_halo(xg, halo_shards, mesh.devices.shape[0],
+                              axis=HOST_AXIS)
+        return _ring_halo(pred_l, halo_shards, n_dev)
+
+    exchange_j = jax.jit(shard_map(
+        exchange, mesh=mesh, in_specs=(specs,), out_specs=P(),
+        check_vma=False))
+
+    def timeit(fn, *args):
+        out = fn(*args)
+        jax.tree.map(lambda x: x.block_until_ready()
+                     if hasattr(x, "block_until_ready") else x, out)
+        t0 = _time.perf_counter()
+        for _ in range(n_cycles):
+            out = fn(*args)
+            jax.tree.map(lambda x: x.block_until_ready()
+                         if hasattr(x, "block_until_ready") else x, out)
+        return (_time.perf_counter() - t0) / n_cycles
+
+    t_cycle = timeit(cycle, state)
+    t_exch = timeit(exchange_j, state)
+    return {
+        "exchange": t_exch,
+        "cycle_total": t_cycle,
+        "local_compute_est": max(t_cycle - t_exch, 0.0),
+        "n_devices": int(n_dev),
+        "halo_shards": halo_shards,
+    }

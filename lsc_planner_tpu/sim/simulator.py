@@ -75,6 +75,7 @@ class CycleInfo(NamedTuple):
     warm_res: jnp.ndarray = None   # (N,) warm-start max row violation
     warm_row: jnp.ndarray = None   # (N,) argmax row index of the above
     qp_failed: jnp.ndarray = None  # (N,) bool QPFAILED report
+    knn_overflow: jnp.ndarray = None  # (N,) bool K-NN density audit
 
 
 def _update_stall_count(prev_count, prev_pos, pos, vel, desired_goal,
@@ -234,8 +235,14 @@ class SyncSimulator:
         self.max_acc = jnp.asarray(arrs["max_acc"], dt)
         self.world_min = jnp.asarray(self.mission.world_min, dt)
         self.world_max = jnp.asarray(self.mission.world_max, dt)
-
-        # --- mission `static` AABB obstacles become world geometry ---
+        # K-NN pruning interaction-ball radius: pairs farther apart than
+        # this cannot interact within one horizon (feasible trajectories
+        # stay within vmax*T of their starts), so only neighbours inside
+        # it ever need LSC rows; the K-th-nearest-inside-ball audit in
+        # plan_block flags density overflow.
+        self._knn_cutoff = float(
+            2.0 * np.max(arrs["max_vel"]) * p.M * p.dt +
+            2.0 * np.max(arrs["radius"]))
         # The reference merges them into the planner's occupancy grid
         # (grid_based_planner.cpp:125-160) and computes box closest
         # points for constraints (obstacle.hpp:437-478); its LSC mode
@@ -463,7 +470,9 @@ class SyncSimulator:
                    obs_maxacc_global=None, obs_slack_global=None,
                    self_slack=None):
         """Plan one block of agents (L, ...) against the global obstacle
-        view (N_total, ...).  Returns (QPResult, current_goal, sfc).
+        view (N_total, ...).  Returns (QPResult, current_goal, sfc,
+        knn_overflow) -- the last is the per-agent density-overflow audit
+        of the K-NN pruning, or None when pruning is off.
 
         obs_*_global override the default all-agent attribute arrays when
         the obstacle view is not the identity-ordered full swarm (e.g.
@@ -492,15 +501,26 @@ class SyncSimulator:
                                      current_goal)
 
         K = p.max_neighbors
+        knn_overflow = None
         if 0 < K < O:
             # spatial K-NN pruning of LSC pairs (SURVEY.md 5.7: the CP/ring
-            # analog).  Agents beyond the K nearest cannot enter the safety
-            # envelope within one horizon when K covers the 2*vmax*horizon
-            # ball, so their half-spaces are redundant.
+            # analog).  SOUNDNESS: any feasible trajectory stays within
+            # vmax * horizon of its start (derivative rows), so a pair
+            # farther apart than R = 2 vmax T + r_i + r_j cannot
+            # interact this cycle and its half-spaces are redundant;
+            # pairs INSIDE that ball but beyond the K nearest would not
+            # be, so the runtime audit below flags any agent whose K-th
+            # nearest neighbour is still inside the ball (K too small
+            # for the local density -> pruning soundness not guaranteed
+            # that cycle).  Neighbours beyond the ball are additionally
+            # masked out, which trims constraint clutter at no cost.
             d2 = jnp.sum((obs_pos_global[None, :, :] - pos[:, None, :])**2,
                          axis=-1)
             d2 = jnp.where(self_mask, jnp.inf, d2)
-            _, nbr = jax.lax.top_k(-d2, K)                     # (L, K)
+            negd2, nbr = jax.lax.top_k(-d2, K)                 # (L, K)
+            sel_d2 = -negd2                    # ascending distances^2
+            R_int = self._knn_cutoff
+            knn_overflow = sel_d2[:, -1] < R_int * R_int
             # one-hot matmul instead of a data-dependent gather: TPU
             # gathers of (L, K) trajectory rows are slower than an
             # (L*K, O) x (O, M(n+1)3) selection matmul on the MXU.
@@ -529,7 +549,7 @@ class SyncSimulator:
                 obs_downwash = obs_downwash_all[nbr]
                 obs_max_acc = obs_maxacc_all[nbr]
             obs_is_agent = jnp.ones((L, K), bool)
-            obs_mask = jnp.ones((L, K), bool)
+            obs_mask = sel_d2 <= R_int * R_int
             obs_slack = (obs_slack_global[nbr]
                          if obs_slack_global is not None else None)
         else:
@@ -659,7 +679,7 @@ class SyncSimulator:
             planes=planes, world_min=self.world_min,
             world_max=self.world_max, y_warm=y_warm, slack=slack_spec,
             dtype=self.dtype)
-        return res, current_goal, sfc
+        return res, current_goal, sfc, knn_overflow
 
     def _patrol_swap(self, state: SwarmState, pos):
         """PATROL: swap start and desired goal when an agent reaches its
@@ -739,7 +759,7 @@ class SyncSimulator:
             obs_slack_global = state.slack_flags
         sfc_seed = jnp.where(sfc_initialize[:, None], pos,
                              state.traj[:, -1, -1, :])
-        res, current_goal, sfc = self.plan_block(
+        res, current_goal, sfc, knn_overflow = self.plan_block(
             pos, vel, acc, init, state.seq,
             pred_global=prediction, obs_pos_global=pos,
             obs_goal_global=desired_goal,
@@ -809,7 +829,8 @@ class SyncSimulator:
                          warm_row=(res.warm_row if res.warm_row is not None
                                    else jnp.zeros_like(res.cost,
                                                        dtype=jnp.int32)),
-                         qp_failed=qp_failed)
+                         qp_failed=qp_failed,
+                         knn_overflow=knn_overflow)
         return new_state, info
 
     def _cycle_orca(self, state: SwarmState, pos, vel, acc, start,

@@ -177,3 +177,18 @@ def test_mesh2d_host_halo_full_window_matches(mesh):
                                np.asarray(state_f.traj), atol=1e-7)
     np.testing.assert_allclose(float(state_h.safety_agent_min),
                                float(state_f.safety_agent_min), atol=1e-8)
+
+
+def test_profile_sharded(mesh):
+    """Sharded per-stage profiler returns sane timings for both the
+    all_gather and ring-halo exchanges."""
+    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14)
+    mission = make_circle_mission(16, radius=4.0)
+    sim = SyncSimulator(mission, p, dtype=jnp.float64)
+    mesh8 = pshard.make_mesh(8)
+    prof = pshard.profile_sharded(sim, mesh8, n_cycles=2)
+    assert prof["cycle_total"] > 0 and prof["exchange"] > 0
+    assert prof["local_compute_est"] >= 0
+    prof_h = pshard.profile_sharded(sim, mesh8, halo_shards=2,
+                                    n_cycles=2)
+    assert prof_h["cycle_total"] > 0

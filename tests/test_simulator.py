@@ -185,3 +185,34 @@ def test_fused_dispatch_rejects_dynamic_obstacles():
     sim = SyncSimulator(mission, Param(), dtype=jnp.float64)
     with pytest.raises(ValueError):
         sim.run(steps_per_dispatch=4, log=object())
+
+
+def test_knn_pruning_cutoff_and_overflow_audit():
+    """K-NN pruning guard: neighbours beyond the interaction ball
+    (2 vmax T + r_i + r_j) are masked out of the LSC rows; agents whose
+    K-th nearest neighbour is still INSIDE the ball are flagged by the
+    density-overflow audit (K too small for the local crowding)."""
+    import math
+    from lsc_planner_tpu.missions import make_circle_mission
+    # tight ring: every agent has 7 others within the ~2.3 m ball
+    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14,
+              max_neighbors=3)
+    sim = SyncSimulator(make_circle_mission(
+        8, radius=1.0, world=(-3, -3, 0, 3, 3, 2.5)), p,
+        dtype=jnp.float64)
+    state = sim.initial_state()
+    state, info = sim._cycle_jit(state)
+    assert info.knn_overflow is not None
+    assert bool(np.asarray(info.knn_overflow).all())
+
+    # sparse ring: nobody within the ball -> no overflow, planes masked,
+    # cycle still runs fine
+    radius = 8.0 / (2 * math.sin(math.pi / 8))   # ~10.5 m spacing
+    sim2 = SyncSimulator(make_circle_mission(
+        8, radius=radius, world=(-radius - 2, -radius - 2, 0,
+                                 radius + 2, radius + 2, 2.5)), p,
+        dtype=jnp.float64)
+    s2 = sim2.initial_state()
+    s2, info2 = sim2._cycle_jit(s2)
+    assert not bool(np.asarray(info2.knn_overflow).any())
+    assert np.isfinite(np.asarray(s2.traj)).all()
