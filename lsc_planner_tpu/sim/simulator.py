@@ -1019,6 +1019,11 @@ class SyncSimulator:
                state.desired_goal, planes_c,
                self.optimizer.extract_y(init).astype(self.dtype))
         times["total"] = sum(times.values())
+        # the production cycle is ONE fused program with no stage
+        # boundaries; XLA overlaps/fuses across them, so the honest
+        # end-to-end number is measured separately and is usually well
+        # below the sum of the isolated stages
+        timeit("cycle_fused_end_to_end", self._cycle_jit, state)
         return times
 
     # ------------------------------------------------------------------

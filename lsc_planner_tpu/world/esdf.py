@@ -66,6 +66,14 @@ class ESDF:
     @classmethod
     def from_bt(cls, path: str, world_min, world_max,
                 max_dist: float = 1.0, dtype=jnp.float32) -> "ESDF":
+        """Load a .bt octomap and rasterize it over [world_min, world_max].
+
+        The occupied-bit convention of the child descriptors is
+        AUTO-DETECTED: the reference's shipped worlds disagree (the
+        forest files read sensibly with the first bit, office.bt with
+        the second -- see octomap_io.load_bt), so if a reading yields a
+        mostly-solid bbox (> 50 % occupied: implausible for a world
+        agents plan through) the opposite convention is used."""
         res = None
         try:
             from .. import native
@@ -75,16 +83,21 @@ class ESDF:
             res = None
         if res is not None and res > 0:
             from .. import native
-            world_min = np.asarray(world_min, np.float64)
-            world_max = np.asarray(world_max, np.float64)
-            k0 = np.floor(world_min / res).astype(np.int64)
-            k1 = np.floor(world_max / res).astype(np.int64)
+            wmin = np.asarray(world_min, np.float64)
+            wmax = np.asarray(world_max, np.float64)
+            k0 = np.floor(wmin / res).astype(np.int64)
+            k1 = np.floor(wmax / res).astype(np.int64)
             dims = k1 - k0 + 1
             occ = native.bt_rasterize(path, k0, dims)
-            return cls.from_occupancy(occ, k0, res, max_dist, dtype)
+            if occ.mean() <= 0.5:
+                return cls.from_occupancy(occ, k0, res, max_dist, dtype)
+            # implausible reading -> python parser, swapped bits
         from .octomap_io import load_bt, rasterize
         tree = load_bt(path)
         occ, k0 = rasterize(tree, world_min, world_max)
+        if occ.mean() > 0.5:
+            tree = load_bt(path, occupied_bit="second")
+            occ, k0 = rasterize(tree, world_min, world_max)
         return cls.from_occupancy(occ, k0, tree.resolution, max_dist,
                                   dtype)
 

@@ -63,10 +63,21 @@ def _parse_header(data: bytes) -> Tuple[float, int, int]:
     return res, size or 0, pos
 
 
-def load_bt(path: str) -> OctomapTree:
+def load_bt(path: str, occupied_bit: str = "first") -> OctomapTree:
+    """Parse a .bt octree.
+
+    occupied_bit: which bit of each 2-bit child descriptor marks an
+    occupied leaf.  The shipped reference worlds are inconsistent: the
+    forest/simple_forest files read sensibly with the first bit
+    (tree-shaped occupied clumps), while office.bt reads as a 92 %-solid
+    block that way and as a clean wall floor plan with the SECOND bit --
+    its generator evidently wrote the opposite convention.  Callers that
+    don't know the provenance should use ESDF.from_bt's auto-detection
+    (mostly-solid worlds are implausible for planning)."""
     with open(path, "rb") as f:
         data = f.read()
     res, _, pos = _parse_header(data)
+    swap = occupied_bit == "second"
 
     occ_low: List[Tuple[int, int, int, int]] = []
     free_low: List[Tuple[int, int, int, int]] = []
@@ -92,9 +103,9 @@ def load_bt(path: str) -> OctomapTree:
             cz = lz + (half if (i & 4) else 0)
             if bit1 and bit2:
                 inner_children.append((cx, cy, cz, depth + 1))
-            elif bit1:
+            elif bit2 if swap else bit1:
                 occ_low.append((cx, cy, cz, half))
-            elif bit2:
+            elif bit1 if swap else bit2:
                 free_low.append((cx, cy, cz, half))
         for child in reversed(inner_children):
             stack.append(child)

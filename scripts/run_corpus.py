@@ -200,9 +200,13 @@ def main():
                   f"safety={row['min_safety']} wall={row['wall_s']}s "
                   f"{row['error']}", flush=True)
 
-    # aggregate over the FULL csv (including prior partial runs)
+    # aggregate over the FULL csv (including prior partial runs),
+    # keeping only the LATEST row per mission (reruns supersede errors)
     with open(csv_path) as f:
-        all_rows = list(csv.DictReader(f))
+        latest = {}
+        for r in csv.DictReader(f):
+            latest[(r["scenario"], r["mission"])] = r
+        all_rows = list(latest.values())
     for r in all_rows:
         r["qn"] = int(r["qn"])
         r["finished"] = r["finished"] in ("True", True)

@@ -308,3 +308,26 @@ class TestMapping:
         d_far = float(esdf.at_points(jnp.asarray([[-2.5, -2.5, 1.0]]))[0])
         assert d_inside <= 0.31
         assert d_far == pytest.approx(1.0)   # dynamicEDT3D max_dist clamp
+
+
+def test_office_bt_convention_autodetect():
+    """office.bt uses the opposite occupied-bit convention from the
+    forest worlds (reading it the forest way yields a 92 %-solid block);
+    from_bt must auto-detect and return a plausible floor plan with the
+    mission agents in free space."""
+    import os
+    path = "/root/reference/world/office.bt"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference assets not mounted")
+    import json
+    d = json.load(open(
+        "/root/reference/missions/office/20agents/multi_random_20agents_1"
+        ".json"))
+    esdf = ESDF.from_bt(path, (-5, -7.5, 0), (5, 7.5, 2.5))
+    occ_frac = float(np.asarray(esdf.occ).mean())
+    assert 0.01 < occ_frac < 0.3, occ_frac
+    pts = jnp.asarray([a["start"] for a in d["agents"]] +
+                      [a["goal"] for a in d["agents"]])
+    clear = np.asarray(esdf.at_points(pts))
+    assert (clear >= 0.15).all(), clear.min()
