@@ -34,8 +34,9 @@ import numpy as np
 BASELINE_AGENT_CYCLES_PER_S = 1.0 / 0.00947   # reference CPLEX single-core
 
 
-def bench_size(qn: int, cycles: int = 30, warmup: int = 3,
-               max_neighbors: int = -1, fuse: int = 10):
+def bench_size(qn: int, cycles: int = 30, warmup: int = 10,
+               max_neighbors: int = -1, fuse: int = 10,
+               qp_iterations: int = None):
     import jax
     from lsc_planner_tpu.runtime import enable_compilation_cache
     enable_compilation_cache()
@@ -48,14 +49,20 @@ def bench_size(qn: int, cycles: int = 30, warmup: int = 3,
     w = radius + 2.0
     mission = make_circle_mission(qn, radius=radius,
                                   world=(-w, -w, 0, w, w, 2.5))
+    kw = {} if qp_iterations is None else {"qp_iterations": qp_iterations}
     param = Param(goal_mode=GoalMode.PRIOR_BASED,
-                  max_neighbors=max_neighbors)
+                  max_neighbors=max_neighbors, **kw)
     sim = SyncSimulator(mission, param, dtype=jnp.float32)
     state = sim.initial_state()
-    # warmup + compile
+    # warmup + compile, into the early-congestion phase; EVERY
+    # measurement below restarts from this snapshot so blocking /
+    # pipelined / fused all time the SAME mission phase (measuring them
+    # back-to-back lets the swarm reach its goals mid-bench and the last
+    # method times a parked swarm's trivially-converged QPs)
     for _ in range(warmup):
         state, info = sim._cycle_jit(state)
     state.traj.block_until_ready()
+    snapshot = state
 
     times = []
     knn_overflow_max = 0
@@ -68,36 +75,38 @@ def bench_size(qn: int, cycles: int = 30, warmup: int = 3,
             knn_overflow_max = max(knn_overflow_max, int(np.asarray(
                 info.knn_overflow).sum()))
     times = np.asarray(times)
+    min_safety = float(state.safety_agent_min)
+    ok = bool(np.isfinite(np.asarray(state.pos)).all())
 
     # pipelined throughput: back-to-back receding-horizon cycles with the
     # dispatch queue kept full (blocking once at the end).  Per-cycle
     # block_until_ready above measures the remote-tunnel RTT (~25-50 ms),
     # not the device; production serving pipelines cycles exactly like
     # this.
-    reps = 40
-    state2 = state
+    reps = min(40, cycles)
+    state2 = snapshot
     t0 = time.perf_counter()
     for _ in range(reps):
         state2, _ = sim._cycle_jit(state2)
     state2.traj.block_until_ready()
     pipelined = (time.perf_counter() - t0) / reps
+    min_safety = min(min_safety, float(state2.safety_agent_min))
 
     # fused: `fuse` cycles per device dispatch (lax.scan) -- amortizes
     # per-dispatch host work on top of pipelining.  Reported SEPARATELY
     # from the pipelined number (different measurement methodologies).
     multi = sim.make_scan_cycle(fuse)
-    state, _ = multi(state)           # compile + warm
-    state.traj.block_until_ready()
+    state3, _ = multi(snapshot)       # compile + warm
+    state3.traj.block_until_ready()
     ftimes = []
     for _ in range(3):
         t0 = time.perf_counter()
-        state, _ = multi(state)
-        state.traj.block_until_ready()
+        state3, _ = multi(state3)
+        state3.traj.block_until_ready()
         ftimes.append((time.perf_counter() - t0) / fuse)
     fused = float(np.median(ftimes))
-
-    ok = bool(np.isfinite(np.asarray(state.pos)).all())
-    min_safety = float(state.safety_agent_min)
+    min_safety = min(min_safety, float(state3.safety_agent_min))
+    ok = ok and bool(np.isfinite(np.asarray(state3.pos)).all())
     return {
         "qn": qn,
         "cycle_p50_ms": float(np.percentile(times, 50) * 1e3),
@@ -109,6 +118,7 @@ def bench_size(qn: int, cycles: int = 30, warmup: int = 3,
         "fused_agent_cycles_per_s": float(qn / fused),
         "steps_per_dispatch": fuse,
         "max_neighbors": max_neighbors,
+        "qp_iterations": qp_iterations or "default",
         "knn_overflow_max": knn_overflow_max,
         "finite": ok,
         "min_safety": min_safety,
@@ -167,9 +177,19 @@ def main():
         raise SystemExit(0)
 
     signal.signal(signal.SIGTERM, on_term)
-    for qn, nbrs in ((16, -1), (64, -1), (1024, 32)):
+    # Per-size solver caps: the framework default (40, with early exit)
+    # is sized for tiny crowded worlds where 14 fixed iterations produce
+    # warm-start orbits; the 1024-agent circle is AUDIT-VALIDATED safe
+    # at cap 14 (min safety 1.12 over 140 congested cycles,
+    # docs/TOLERANCES_r03.md) and the self-gate below voids the claim if
+    # that ever regresses.  Congested 1024-lane tiles never reach the
+    # early-exit tolerances (gap plateaus ~1e-2 from constraint
+    # degeneracy), so the cap IS the cost knob for that scenario.
+    for qn, nbrs, iters in ((16, -1, None), (64, -1, None),
+                            (1024, 32, 14)):
         try:
-            results[str(qn)] = bench_size(qn, max_neighbors=nbrs)
+            results[str(qn)] = bench_size(qn, max_neighbors=nbrs,
+                                          qp_iterations=iters)
         except Exception as e:  # keep the bench robust: report what ran
             results[str(qn)] = {"error": f"{type(e).__name__}: {e}"}
     _emit(results)
