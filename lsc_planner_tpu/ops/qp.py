@@ -59,6 +59,46 @@ def _masked(A, b, mask):
     return jnp.where(m, A, 0.0), jnp.where(mask, b, -1.0)
 
 
+def _equilibrate_rows(A, b, floor: float = 1e-3, bmax: float = 1e3):
+    """Unit-norm row equilibration with degeneracy guards.
+
+    Rows whose coefficient norm is below `floor` constrain combinations
+    the free variables barely influence (e.g. velocity/acceleration
+    entries dominated by the pinned initial state); dividing them by
+    their ~1e-5 norms creates slacks ~1e6 that dominate the Mehrotra
+    complementarity mean and stall the whole solve (mu collapses while
+    the primal iterate is still far from optimal -- the round-3
+    endgame-hover mechanism, reproducible even in f64).  Such rows are
+    dropped as inert (the reference skips initial-state-determined rows
+    outright, traj_optimizer.cpp:274-303).  Surviving rows' scaled
+    bounds are additionally capped at `bmax` so no single far-from-active
+    row distorts the centering statistics."""
+    row_norm = jnp.sqrt(jnp.sum(A * A, axis=-1))
+    dead = row_norm < floor
+    scale = 1.0 / jnp.maximum(row_norm, floor)
+    scale = jnp.minimum(scale, bmax / jnp.maximum(jnp.abs(b), 1.0))
+    A = jnp.where(dead[..., None], 0.0, A * scale[..., None])
+    b = jnp.where(dead, -1.0, b * scale)
+    return A, b
+
+
+def _objective_scale(P, q):
+    """Normalize the objective to O(1) per instance: P' = P/sigma,
+    q' = q/sigma with sigma = mean |diag P|.
+
+    The raw jerk Gram puts P at the ~1e4-1e5 scale; in f32 the KKT
+    solves then carry absolute errors ~eps * scale that STALL Newton
+    convergence (the iterate creeps toward the optimum at ~1e-3/step
+    while complementarity reads tiny -- the round-3 endgame-hover root
+    cause), and the Mehrotra gap floors at ~eps * scale ~ 1e-2 so the
+    early exit can never fire.  The optimum y* is invariant; duals and
+    objective are scaled back on return."""
+    diag = jnp.einsum("...vv->...v", P)
+    sigma = jnp.maximum(jnp.mean(jnp.abs(diag), axis=-1), 1e-6)  # (...,)
+    inv = 1.0 / sigma
+    return (P * inv[..., None, None], q * inv[..., None], sigma)
+
+
 def _cholesky(Hs):
     """Batched Cholesky: Pallas batch-in-lanes kernel on TPU (XLA's batched
     small-matrix Cholesky is the IPM's dominant cost there), jnp fallback
@@ -223,10 +263,9 @@ def solve_qp(P, q, A, b, mask=None, y0=None, iters: int = 20,
         # Cholesky produce NaNs.
         A, b = _masked(A, b, mask)
         if equilibrate:
-            row_norm = jnp.sqrt(jnp.sum(A * A, axis=-1) + 1e-12)
-            row_scale = jnp.where(row_norm > 1e-9, 1.0 / row_norm, 1.0)
-            A = A * row_scale[..., None]
-            b = b * row_scale
+            A, b = _equilibrate_rows(A, b)
+
+        P, q, obj_scale = _objective_scale(P, q)
 
         def mv(y):
             return jnp.einsum("...rv,...v->...r", A, y)
@@ -237,7 +276,9 @@ def solve_qp(P, q, A, b, mask=None, y0=None, iters: int = 20,
         def gram(d):
             return jnp.einsum("...rv,...r,...rw->...vw", A, d, A)
 
-        return _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min)
+        sol = _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min)
+        return sol._replace(lam=sol.lam * obj_scale[..., None],
+                            obj=sol.obj * obj_scale)
 
 
 def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
@@ -280,14 +321,36 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
         C = normal.shape[1]
         nv = P.shape[-1]
 
+        # objective normalization (see _objective_scale): critical for
+        # f32 convergence AND for the early-exit gap to be reachable
+        P, q, obj_scale = _objective_scale(P, q)
+        if P_blk is not None:
+            # P is block-diagonal with equal blocks, so mean |diag| is
+            # identical and the same sigma applies
+            P_blk = P_blk * (1.0 / obj_scale)[:, None, None]
+
         F_seg = jnp.asarray(F_seg, dtype)
         A_st = jnp.asarray(A_st, dtype)
 
-        # --- static rows: equilibrate once (rows are agent-shared) ---
+        # --- static rows: equilibrate once (rows are agent-shared), with
+        #     the same degeneracy guards as _equilibrate_rows: near-zero
+        #     rows (initial-state-determined) go inert, scaled bounds are
+        #     capped so no far-inactive row poisons the centering mean ---
         st_norm = jnp.sqrt(jnp.sum(A_st * A_st, axis=-1) + 1e-12)
-        st_scale = jnp.where(st_norm > 1e-9, 1.0 / st_norm, 1.0)
+        st_dead = st_norm < 1e-3
+        st_scale = 1.0 / jnp.maximum(st_norm, 1e-3)
+        b_absmax = jnp.max(jnp.abs(b_st), axis=0)            # (R_s,)
+        # static rows come in adjacent +- pairs sharing a row vector
+        # (static_rows construction); the cap must be PAIR-symmetric or
+        # the blocked one-scale-per-pair representation breaks
+        b_absmax = jnp.repeat(
+            jnp.max(b_absmax.reshape(-1, 2), axis=1), 2)
+        st_scale = jnp.minimum(st_scale,
+                               1e3 / jnp.maximum(b_absmax, 1.0))
+        st_scale = jnp.where(st_dead, 0.0, st_scale)
         A_st = A_st * st_scale[:, None]
-        b_st = b_st * st_scale[None, :]
+        b_st = jnp.where(st_dead[None, :], -1.0,
+                         b_st * st_scale[None, :])
 
         if static_blocks is not None:
             U_np, row_perm_np, inv_row_perm_np = static_blocks
@@ -300,15 +363,17 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
             row_perm = jnp.asarray(row_perm_np)
             inv_row_perm = jnp.asarray(inv_row_perm_np)
 
-        # --- plane rows: |a_{c,m,i}| = |n_{c,m}| |F_seg[m,i]| ---
+        # --- plane rows: |a_{c,m,i}| = |n_{c,m}| |F_seg[m,i]|, same
+        #     degeneracy guards ---
         f_norm = jnp.sqrt(jnp.sum(F_seg * F_seg, axis=-1))       # (M, n+1)
         n_norm = jnp.sqrt(jnp.sum(normal * normal, axis=-1))     # (N, C, M)
         row_norm = n_norm[..., None] * f_norm[None, None]        # (N,C,M,i)
-        scale = jnp.where(row_norm > 1e-9, 1.0 / row_norm, 1.0)
-        scale = jnp.where(mask, scale, 0.0)      # masked rows -> zero row
-        b_pl = jnp.where(mask, rhs.astype(dtype) *
-                         jnp.where(row_norm > 1e-9, 1.0 / row_norm, 1.0),
-                         -1.0)
+        rhs_d = rhs.astype(dtype)
+        scale = 1.0 / jnp.maximum(row_norm, 1e-3)
+        scale = jnp.minimum(scale, 1e3 / jnp.maximum(jnp.abs(rhs_d), 1.0))
+        live = mask & (row_norm >= 1e-3)
+        scale = jnp.where(live, scale, 0.0)      # dead rows -> zero row
+        b_pl = jnp.where(live, rhs_d * scale, -1.0)
         b = jnp.concatenate([b_st, b_pl.reshape(N, C * M * n1)], axis=1)
 
         nsc = normal.astype(dtype)               # (N, C, M, 3)
@@ -405,13 +470,16 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
                 P_blk.astype(dtype), y.reshape(N, 3, nf)) + \
                 jnp.einsum("nv,nv->n", q, y)
             primal_res = jnp.max(jnp.maximum(b - mv(y), 0.0), axis=-1)
-            return QPSolution(y=y, lam=lam, obj=obj,
+            return QPSolution(y=y, lam=lam * obj_scale[:, None],
+                              obj=obj * obj_scale,
                               primal_res=primal_res, gap=gap,
                               warm_res=warm_res, warm_row=warm_row)
 
         sol = _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
                    tol_gap=tol_gap, tol_rp=tol_rp)
-        return sol._replace(warm_res=warm_res, warm_row=warm_row)
+        return sol._replace(warm_res=warm_res, warm_row=warm_row,
+                            lam=sol.lam * obj_scale[..., None],
+                            obj=sol.obj * obj_scale)
 
 
 def violation_report(A, b, y, mask=None, top_k: int = 5):

@@ -144,13 +144,15 @@ def _update_rescue(state, pos, desired_goal, stall_count, progress, p,
     over = stall_count > p.deadlock_seq_threshold
     expire = active & over
     active = active & ~expire
-    # Never engage NEAR the goal: a smooth final approach decelerates
-    # below the stall velocity threshold while still > goal_threshold
-    # out, and a rescue waypoint there (reach ~ gd, rotated) drags the
-    # agent away from a goal nothing blocks -- observed as a permanent
-    # 0.1-0.2 m hover on the forest corpus missions.  True blockage that
-    # close is the priority back-away rule's job, not the rescue's.
-    far = gnorm[..., 0] > 3.0 * p.goal_threshold
+    # Never engage NEAR the goal: the receding-horizon final approach is
+    # an exponential tail whose velocity sits below the stall threshold
+    # for most of the last ~0.5 m (the terminal-weight/jerk balance; the
+    # reference's closed loop has the same tail), and a rescue waypoint
+    # there (reach ~ gd, rotated) drags the agent away from a goal
+    # nothing blocks -- observed as permanent hovers on the forest and
+    # circle endgames.  True blockage that close is the priority
+    # back-away rule's job, not the rescue's.
+    far = gnorm[..., 0] > 0.5 * p.goal_radius
     engage = over & ~active & far
     stall_count = jnp.where(engage, 0, stall_count)
     phase_new = jnp.where(engage, phase % n_cand + 1, phase)  # 1..n_cand

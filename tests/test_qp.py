@@ -192,7 +192,7 @@ def test_fused_pallas_ipm_matches_xla_path(rng):
     fused = qp.solve_qp_lsc(*common, **kw, P_blk=jnp.asarray(P_blk),
                             fused_mode="interpret")
     np.testing.assert_allclose(np.asarray(fused.y), np.asarray(ref.y),
-                               rtol=5e-3, atol=5e-4)
+                               rtol=5e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(fused.obj), np.asarray(ref.obj),
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(fused.gap), np.asarray(ref.gap),
