@@ -175,14 +175,22 @@ class Param:
     # 20-agent corpus missions never finished); 40 breaks every observed
     # orbit while early exit keeps steady-state cycles cheap.
     qp_iterations: int = 40
-    # Early-exit tolerances for the IPM: complementarity gap and max
-    # primal residual.  The gap is measured on the UNIT-NORMALIZED
-    # objective (the solver rescales P, q to O(1) per instance -- raw
-    # jerk-Gram scale ~1e5 stalls f32 Newton steps and floors the gap at
-    # ~eps*scale); rows are unit-norm equilibrated so the residual is in
-    # meters at the constraint surface.
+    # Early-exit tolerances for the IPM: complementarity gap, max primal
+    # residual, and max dual residual |Py + q - A'lam|.  Gap and dual
+    # residual are measured on the UNIT-NORMALIZED objective (the solver
+    # rescales P, q to O(1) per instance -- raw jerk-Gram scale ~1e5
+    # stalls f32 Newton steps and floors the gap at ~eps*scale); rows
+    # are unit-norm equilibrated so the primal residual is in meters at
+    # the constraint surface.  All THREE must hold to exit: with a warm
+    # start at the previous cycle's optimum, gap + primal alone are
+    # satisfied after 1-2 iterations while y is still the STALE optimum
+    # (Mehrotra collapses mu first) -- exiting there freezes the agent
+    # (the round-3 endgame-stall regression).  Setting any tolerance to
+    # 0 disables early exit (fixed iteration count; used by tests that
+    # need cross-path determinism).
     qp_tol_gap: float = 1e-6
     qp_tol_rp: float = 1e-4
+    qp_tol_rd: float = 1e-4
     # Fused single-launch Pallas IPM dispatch: "auto" (TPU/f32),
     # "off" (always the XLA factored-row path; diagnostic A/B switch).
     qp_fused_mode: str = "auto"

@@ -97,11 +97,11 @@ def _mm(a, b):
 
 
 def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
-                scale_ref, bpl_ref, Fseg_ref, FF_ref, valid_ref,
+                scale_ref, bpl_ref, Fseg_ref, FF_ref, valid_ref, sig_ref,
                 y_ref, lam_s_ref, lam_p_ref, gap_ref, l_scr,
                 *, iters: int, ndim: int, nf: int, Ru: int, C: int,
                 M: int, n1: int, reg: float, s_min: float,
-                tol_gap: float, tol_rp: float):
+                tol_gap: float, tol_rp: float, tol_rd: float):
     """One lane tile (B agents in lanes) of the full IPM solve.
 
     Tile shapes (B = lanes).  All plane-row buffers are FLAT 2-D
@@ -136,6 +136,7 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
     Fseg = Fseg_ref[:]
     FF = FF_ref[:]
     valid = valid_ref[0]          # (B,) 1.0 = real agent, 0.0 = pad lane
+    sig = sig_ref[0]              # (B,) objective scale for tolerances
     B = q.shape[-1]
 
     # scale folded into the normals once: plane row values become plain
@@ -219,8 +220,8 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
             axis=0)
 
     def iteration(carry):
-        it, _, y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl, su, plv = carry
-        r_d = Py(y) + q - rmv(l_sp - l_sm, l_pl)
+        (it, _, y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl, su, plv,
+         r_d) = carry
         rp_sp = su - s_sp - bs[0]
         rp_sm = -su - s_sm - bs[1]
         rp_pl = plv - s_pl - bpl
@@ -293,9 +294,14 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
         l_sp_n, l_sm_n, l_pl_n = (sel(l_sp_n, l_sp), sel(l_sm_n, l_sm),
                                   sel(l_pl_n, l_pl))
 
-        # convergence test on the NEW iterate (next iteration's mv is
-        # hoisted here so it costs nothing extra): every lane at
-        # complementarity gap < tol_gap with primal residual < tol_rp.
+        # convergence test on the NEW iterate (next iteration's mv AND
+        # dual residual are hoisted here so they cost nothing extra):
+        # every lane at complementarity gap < tol_gap with primal
+        # residual < tol_rp AND dual residual < tol_rd.  The dual term
+        # is load-bearing: a warm start at the previous cycle's optimum
+        # collapses mu in 1-2 iterations while y is still stale -- mu +
+        # r_p alone exit with the old point and the agent hovers (the
+        # round-3 endgame-stall regression; see ops/qp.py _ipm).
         # A NaN-frozen lane reports converged=False and rides to the cap.
         # Pad lanes (valid == 0: the dummy QPs filling the last partial
         # tile) count as converged -- their identity-P/zero-q problems
@@ -303,26 +309,30 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
         # iteration cap, silently disabling early exit for swarms
         # smaller than the lane-tile size.
         su_n, plv_n = mv(y_n)
+        rd_n = Py(y_n) + q - rmv(l_sp_n - l_sm_n, l_pl_n)
         mu_n = (_rowsum(s_sp_n * l_sp_n) + _rowsum(s_sm_n * l_sm_n) +
                 _rowsum(s_pl_n * l_pl_n)) / nr
         rpm = jnp.maximum(
             _rowmax(jnp.abs(su_n - s_sp_n - bs[0])),
             jnp.maximum(_rowmax(jnp.abs(-su_n - s_sm_n - bs[1])),
                         _rowmax(jnp.abs(plv_n - s_pl_n - bpl))))
+        rdm = _rowmax(jnp.abs(rd_n))
         lane_done = (valid < 0.5) | \
-            (ok & (mu_n < tol_gap) & (rpm < tol_rp))
+            (ok & (mu_n < tol_gap * sig) & (rpm < tol_rp) &
+             (rdm < tol_rd * sig))
         conv = (jnp.min(jnp.where(lane_done, 1.0, 0.0)) > 0.5)\
             .astype(jnp.int32)
 
         return (it + 1, conv, y_n, s_sp_n, s_sm_n, s_pl_n,
-                l_sp_n, l_sm_n, l_pl_n, su_n, plv_n)
+                l_sp_n, l_sm_n, l_pl_n, su_n, plv_n, rd_n)
 
+    rd0 = Py(y) + q - rmv(l_sp - l_sm, l_pl)
     carry = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-             y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl, su0, pl0)
+             y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl, su0, pl0, rd0)
     carry = jax.lax.while_loop(
         lambda c: jnp.logical_and(c[0] < iters, c[1] == 0),
         iteration, carry)
-    it, _, y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl, _, _ = carry
+    it, _, y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl, _, _, _ = carry
 
     y_ref[:] = y
     lam_s_ref[0] = l_sp
@@ -334,11 +344,14 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
 
 
 @partial(jax.jit, static_argnames=("iters", "reg", "s_min", "interpret",
-                                   "block_b", "tol_gap", "tol_rp"))
+                                   "block_b", "tol_gap", "tol_rp",
+                                   "tol_rd"))
 def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
+                  sigma=None,
                   iters: int = 14, reg: float = 1e-8, s_min: float = 1.0,
                   interpret: bool = False, block_b: int = 128,
-                  tol_gap: float = 1e-3, tol_rp: float = 1e-4):
+                  tol_gap: float = 1e-3, tol_rp: float = 1e-4,
+                  tol_rd: float = 1e-4):
     """Solve the whole swarm's LSC QPs in one fused Pallas launch.
 
     P_blk (N, nf, nf); q/y0 (N, nv); U (ndim, Ru, nf) pre-scaled unique
@@ -351,10 +364,13 @@ def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
     (N, C*M*n1) c-major, gap (N,)).
 
     iters is a CAP: each 128-lane tile exits its iteration loop as soon
-    as every lane reaches complementarity gap < tol_gap with primal
-    residual < tol_rp (warm-started steady-state cycles converge in far
-    fewer than the cap, and the whole tile's remaining iterations are
-    real skipped work, not masked lanes).
+    as every lane reaches complementarity gap < tol_gap * sigma with
+    primal residual < tol_rp and dual residual < tol_rd * sigma, where
+    sigma (N,) is the per-agent objective scale (mean |diag P|; makes
+    the tolerances relative to the ~1e4 jerk-Gram magnitude).
+    Warm-started steady-state cycles converge in far fewer than the
+    cap, and the whole tile's remaining iterations are real skipped
+    work, not masked lanes.
     """
     N, nf = P_blk.shape[0], P_blk.shape[-1]
     ndim, Ru = U.shape[0], U.shape[1]
@@ -388,6 +404,9 @@ def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
     scale_l = lanes(scale, (C * MI,))
     bpl_l = lanes(b_pl, (C * MI,), pad=-1.0)
     valid_l = lanes(jnp.ones((N, 1), f32), (1,), pad=0.0)
+    if sigma is None:
+        sigma = jnp.ones((N,), f32)
+    sig_l = lanes(sigma.reshape(N, 1), (1,), pad=1.0)
 
     Fseg2 = jnp.asarray(F_seg, f32).reshape(MI, nf)
     FF2 = (Fseg2[:, :, None] * Fseg2[:, None, :]).reshape(MI, nf * nf)
@@ -411,14 +430,14 @@ def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
     y_l, lam_s_l, lam_p_l, gap_l = pl.pallas_call(
         partial(_ipm_kernel, iters=iters, ndim=ndim, nf=nf, Ru=Ru, C=C,
                 M=M, n1=n1, reg=reg, s_min=s_min, tol_gap=tol_gap,
-                tol_rp=tol_rp),
+                tol_rp=tol_rp, tol_rd=tol_rd),
         grid=grid,
         in_specs=[bspec((nf, nf)), bspec((nv,)), bspec((nv,)),
                   sspec((ndim, Ru, nf)), sspec((ndim, nf * nf, Ru)),
                   bspec((2, ndim * Ru)), bspec((3, C * MI)),
                   bspec((C * MI,)), bspec((C * MI,)),
                   sspec((MI, nf)), sspec((MI, nf * nf)),
-                  bspec((1,))],
+                  bspec((1,)), bspec((1,))],
         out_specs=(bspec((nv,)), bspec((2, ndim * Ru)), bspec((C * MI,)),
                    bspec((2,))),
         out_shape=(jax.ShapeDtypeStruct((nv, Np), f32),
@@ -430,7 +449,7 @@ def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(Pb_l, q_l, y0_l, U_j, UU, bs_l, nsc_l, scale_l, bpl_l, Fseg2, FF2,
-      valid_l)
+      valid_l, sig_l)
 
     y = jnp.moveaxis(y_l[..., :N], -1, 0)
     lam_s = jnp.moveaxis(lam_s_l[..., :N], -1, 0)

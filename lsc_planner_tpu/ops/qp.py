@@ -82,21 +82,23 @@ def _equilibrate_rows(A, b, floor: float = 1e-3, bmax: float = 1e3):
     return A, b
 
 
-def _objective_scale(P, q):
-    """Normalize the objective to O(1) per instance: P' = P/sigma,
-    q' = q/sigma with sigma = mean |diag P|.
+def _objective_sigma(P):
+    """Per-instance objective scale sigma = mean |diag P| (~1e4-1e5 for
+    the raw jerk Gram).
 
-    The raw jerk Gram puts P at the ~1e4-1e5 scale; in f32 the KKT
-    solves then carry absolute errors ~eps * scale that STALL Newton
-    convergence (the iterate creeps toward the optimum at ~1e-3/step
-    while complementarity reads tiny -- the round-3 endgame-hover root
-    cause), and the Mehrotra gap floors at ~eps * scale ~ 1e-2 so the
-    early exit can never fire.  The optimum y* is invariant; duals and
-    objective are scaled back on return."""
+    Used ONLY to make the early-exit tolerances scale-invariant: the
+    complementarity gap and the dual residual are compared against
+    tol * sigma, so `tol` reads as a RELATIVE tolerance on the O(1)
+    normalized objective while the solve itself runs on the raw problem.
+    (Round 3 instead rescaled P, q by 1/sigma before solving -- the
+    optimum is invariant but the Mehrotra trajectory is NOT: with a warm
+    start at the previous optimum and lam0 = 1, the scaled problem's
+    duals must SHRINK toward their O(1e-4) optima, mu collapses ahead of
+    the iterate, and a capped solve returns a visibly staler point than
+    the raw problem's -- the round-3 endgame-stall regression, measured
+    as finish vs no-finish at 12 iterations even in f64.)"""
     diag = jnp.einsum("...vv->...v", P)
-    sigma = jnp.maximum(jnp.mean(jnp.abs(diag), axis=-1), 1e-6)  # (...,)
-    inv = 1.0 / sigma
-    return (P * inv[..., None, None], q * inv[..., None], sigma)
+    return jnp.maximum(jnp.mean(jnp.abs(diag), axis=-1), 1e-6)  # (...,)
 
 
 def _cholesky(Hs):
@@ -120,7 +122,8 @@ def _chol_solve(L, rhs):
 
 
 def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
-         tol_gap: float = 0.0, tol_rp: float = 0.0):
+         tol_gap: float = 0.0, tol_rp: float = 0.0,
+         tol_rd: float = 0.0, tol_scale=None):
     """Shared Mehrotra predictor-corrector core.
 
     mv(y) -> (N, nr) = A y;  rmv(w) -> (N, nv) = A^T w;
@@ -128,14 +131,26 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
     pre-equilibrated (unit-ish row norms) and pre-masked.
 
     `iters` is a CAP when tol_gap/tol_rp > 0: the loop exits once EVERY
-    instance reaches complementarity gap < tol_gap with primal residual
-    < tol_rp (same contract as the fused Pallas kernel) -- warm-started
-    steady-state cycles converge in well under half the cap, and the
-    cap provides headroom for congested cycles where 14 fixed
-    iterations return feasible-but-suboptimal points.
+    instance reaches complementarity gap < tol_gap * sigma with primal
+    residual < tol_rp AND dual residual max|Py + q - A'lam| <
+    tol_rd * sigma, where sigma = `tol_scale` (per-instance objective
+    scale, see _objective_sigma; 1 if None) -- same contract as the
+    fused Pallas kernel.  Warm-started steady-state cycles converge in
+    well under half the cap; the cap provides headroom for congested
+    cycles.
+
+    The dual-residual term is NOT optional: a warm start at the previous
+    cycle's optimum is primal-feasible with near-zero slacks on inactive
+    rows, so Mehrotra collapses mu in 1-2 iterations while y is still
+    the OLD optimum -- mu + r_p alone then exit with the stale point and
+    the agent never moves (the round-3 endgame-stall regression).
+    CPLEX's barrier exits on the same triple
+    (/root/reference/src/traj_optimizer.cpp:51-56 uses its defaults).
     """
     dtype = P.dtype
     nv = P.shape[-1]
+    tscale = jnp.ones(P.shape[:-2], dtype) if tol_scale is None \
+        else tol_scale
 
     if y0 is None:
         y0 = jnp.zeros(P.shape[:-1], dtype)
@@ -175,9 +190,11 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
         mu = jnp.mean(s * lam, axis=-1)
         # convergence of the CURRENT iterate (checked before stepping so
         # the flag lags one iteration; the while cond consumes it)
-        done = jnp.all((mu < tol_gap) &
-                       (jnp.max(jnp.abs(r_p), axis=-1) < tol_rp)) \
-            if (tol_gap > 0.0 and tol_rp > 0.0) else jnp.asarray(False)
+        done = jnp.all((mu < tol_gap * tscale) &
+                       (jnp.max(jnp.abs(r_p), axis=-1) < tol_rp) &
+                       (jnp.max(jnp.abs(r_d), axis=-1) < tol_rd * tscale)) \
+            if (tol_gap > 0.0 and tol_rp > 0.0 and tol_rd > 0.0) \
+            else jnp.asarray(False)
 
         D = lam / s
         H = P + gram(D)
@@ -265,8 +282,6 @@ def solve_qp(P, q, A, b, mask=None, y0=None, iters: int = 20,
         if equilibrate:
             A, b = _equilibrate_rows(A, b)
 
-        P, q, obj_scale = _objective_scale(P, q)
-
         def mv(y):
             return jnp.einsum("...rv,...v->...r", A, y)
 
@@ -276,16 +291,15 @@ def solve_qp(P, q, A, b, mask=None, y0=None, iters: int = 20,
         def gram(d):
             return jnp.einsum("...rv,...r,...rw->...vw", A, d, A)
 
-        sol = _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min)
-        return sol._replace(lam=sol.lam * obj_scale[..., None],
-                            obj=sol.obj * obj_scale)
+        return _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min)
 
 
 def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
                  y0=None, iters: int = 20, reg: float = 1e-8,
                  s_min: float = 1.0, static_blocks=None,
                  P_blk=None, fused_mode: str = "auto",
-                 tol_gap: float = 1e-3, tol_rp: float = 1e-4
+                 tol_gap: float = 1e-3, tol_rp: float = 1e-4,
+                 tol_rd: float = 1e-4
                  ) -> QPSolution:
     """Factored-row QP solve for the production LSC/SFC path.
 
@@ -321,13 +335,10 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
         C = normal.shape[1]
         nv = P.shape[-1]
 
-        # objective normalization (see _objective_scale): critical for
-        # f32 convergence AND for the early-exit gap to be reachable
-        P, q, obj_scale = _objective_scale(P, q)
-        if P_blk is not None:
-            # P is block-diagonal with equal blocks, so mean |diag| is
-            # identical and the same sigma applies
-            P_blk = P_blk * (1.0 / obj_scale)[:, None, None]
+        # per-instance objective scale: makes the early-exit gap / dual
+        # tolerances relative to the ~1e4-1e5 jerk-Gram magnitude (the
+        # solve itself stays on the RAW problem -- see _objective_sigma)
+        sigma = _objective_sigma(P)
 
         F_seg = jnp.asarray(F_seg, dtype)
         A_st = jnp.asarray(A_st, dtype)
@@ -457,9 +468,10 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
             y0f = y0 if y0 is not None else jnp.zeros((N, nv), dtype)
             y, lam_s, lam_p, gap = ipm_lsc_fused(
                 P_blk.astype(dtype), q, y0f, U, b_pairs, nsc,
-                scale, b_pl, F_seg, iters=iters, reg=reg, s_min=s_min,
+                scale, b_pl, F_seg, sigma.astype(dtype),
+                iters=iters, reg=reg, s_min=s_min,
                 interpret=(fused_mode == "interpret"),
-                tol_gap=tol_gap, tol_rp=tol_rp)
+                tol_gap=tol_gap, tol_rp=tol_rp, tol_rd=tol_rd)
             # duals back to [static original order, plane rows]
             lam_perm = jnp.stack([lam_s[:, 0], lam_s[:, 1]],
                                  axis=-1).reshape(N, R_s)
@@ -470,16 +482,14 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
                 P_blk.astype(dtype), y.reshape(N, 3, nf)) + \
                 jnp.einsum("nv,nv->n", q, y)
             primal_res = jnp.max(jnp.maximum(b - mv(y), 0.0), axis=-1)
-            return QPSolution(y=y, lam=lam * obj_scale[:, None],
-                              obj=obj * obj_scale,
+            return QPSolution(y=y, lam=lam, obj=obj,
                               primal_res=primal_res, gap=gap,
                               warm_res=warm_res, warm_row=warm_row)
 
         sol = _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
-                   tol_gap=tol_gap, tol_rp=tol_rp)
-        return sol._replace(warm_res=warm_res, warm_row=warm_row,
-                            lam=sol.lam * obj_scale[..., None],
-                            obj=sol.obj * obj_scale)
+                   tol_gap=tol_gap, tol_rp=tol_rp, tol_rd=tol_rd,
+                   tol_scale=sigma)
+        return sol._replace(warm_res=warm_res, warm_row=warm_row)
 
 
 def violation_report(A, b, y, mask=None, top_k: int = 5):
