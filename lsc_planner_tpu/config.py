@@ -110,9 +110,10 @@ class Param:
     # --- obstacle prediction (param.cpp:60-63) ---
     obs_size_prediction: bool = True
     obs_uncertainty_horizon: float = 1.0
-    # parsed by the reference (param.cpp:63) but never read anywhere in
-    # its code -- kept for config-key parity only
-    obs_agent_clustering: bool = False
+    # NOTE: the reference's `obs/agent_clustering` key (param.cpp:63) is
+    # parsed there but never read by any reference code; it is
+    # deliberately NOT a field here.  Configs that still set it are
+    # accepted and ignored (see cli.py override handling).
     # per-agent obstacle observation noise stddev
     # (updateObstaclesMsg, obstacle_generator.hpp:120-142; the
     # reference's mainline call passes it commented out,
@@ -129,6 +130,14 @@ class Param:
     # --- optimization (param.cpp:72-76) ---
     control_input_weight: float = 0.01
     terminal_weight: float = 1.0
+    # Terminal-weight schedule: "distance" (default) uses the reference
+    # authors' clamped distance-scaled variant min(w / dist_to_goal, 10)
+    # (traj_optimizer.cpp:345-352); "simple" uses the constant weight
+    # the reference ships (:353-355).  See
+    # TrajOptimizer._terminal_weight for why "distance" is the default
+    # here (the constant weight leaves a weakly-damped endgame ring that
+    # strands finishes).
+    terminal_weight_mode: str = "distance"
     slack_collision_weight: float = 100000.0
     N_constraint_segments: int = -1
 
@@ -283,7 +292,12 @@ class Param:
             "goal_mode": GoalMode,
         }
         field_names = {f.name for f in dataclasses.fields(cls)}
+        # reference keys that exist in param.cpp but are read by no
+        # reference code; accepted and dropped for config compatibility
+        dead_reference_keys = {"obs_agent_clustering"}
         for k, v in d.items():
+            if k in dead_reference_keys:
+                continue
             if k not in field_names:
                 raise KeyError(f"unknown param {k!r}")
             if k in enum_fields and isinstance(v, str):

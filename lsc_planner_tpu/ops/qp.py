@@ -238,12 +238,18 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
         y_n = y + a_p[..., None] * dy
         s_n = jnp.maximum(s + a_p[..., None] * ds, 1e-12)
         lam_n = jnp.maximum(lam + a_d[..., None] * dlam, 1e-12)
-        # NaN guard: an agent whose factorization degenerates holds its
-        # previous (warm-started, feasible) iterate instead of poisoning
-        # the batch
+        # Degeneracy guard: an agent whose factorization degenerates or
+        # whose iterates blow up holds its previous (warm-started,
+        # feasible) iterate instead of poisoning the batch.  The growth
+        # bound matters for INFEASIBLE instances (the QPFAILED path
+        # feeds on primal_res of the returned point): without it the
+        # duals race toward the f64 overflow horizon (~1e288 observed on
+        # the reference's own conflict dump) before isfinite can fire.
         ok = (jnp.all(jnp.isfinite(y_n), axis=-1) &
               jnp.all(jnp.isfinite(s_n), axis=-1) &
-              jnp.all(jnp.isfinite(lam_n), axis=-1))
+              jnp.all(jnp.isfinite(lam_n), axis=-1) &
+              (jnp.max(jnp.abs(y_n), axis=-1) < 1e10) &
+              (jnp.max(lam_n, axis=-1) < 1e12))
         y = jnp.where(ok[..., None], y_n, y)
         s = jnp.where(ok[..., None], s_n, s)
         lam = jnp.where(ok[..., None], lam_n, lam)

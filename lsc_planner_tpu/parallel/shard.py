@@ -137,7 +137,7 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
 
     specs = state_specs(axes)
 
-    def body(state: SwarmState):
+    def body(state: SwarmState, dyn_pos=None, dyn_vel=None):
         # local block: (L, ...) per-agent leaves
         if two_level:
             shard = (jax.lax.axis_index(HOST_AXIS) * ici +
@@ -147,19 +147,29 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
         my_ids = shard * L + jnp.arange(L)
 
         pos_l, vel_l, acc_l = sim.propagate(state)
+        # patrol start/goal swap (purely per-agent; same code as the
+        # single-chip cycle, traj_planner.cpp:479-485)
+        start_l, desired_goal_l = sim._patrol_swap(state, pos_l)
         from ..sim.simulator import _update_stall_count, _update_rescue, \
             _no_rescue
         stall_count, progress = _update_stall_count(
             state.stall_count, state.pos, pos_l, vel_l,
-            state.desired_goal, state.seq, p)
+            desired_goal_l, state.seq, p)
         if p.deadlock_rescue:
+            # full candidate validation as on the single chip: without
+            # the ESDF/world-bounds checks a rescue waypoint can latch
+            # inside an obstacle on octomap worlds (the round-3 gap)
             rescue_goal, rescue_active, rescue_phase, stall_count = \
-                _update_rescue(state, pos_l, state.desired_goal,
-                               stall_count, progress, p)
+                _update_rescue(state, pos_l, desired_goal_l,
+                               stall_count, progress, p, esdf=sim.esdf,
+                               radius=jnp.asarray(sim.radius)[my_ids],
+                               world_min=sim.world_min,
+                               world_max=sim.world_max)
         else:
             rescue_goal, rescue_active, rescue_phase = _no_rescue(state)
         init_l, pred_l = sim.predict_and_init(state.traj, pos_l, vel_l,
-                                              state.seq)
+                                              state.seq,
+                                              prev_goal=state.current_goal)
 
         # --- the communication step: neighbour trajectory exchange ---
         obs_attrs = {}
@@ -167,7 +177,7 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
             pred_g = jax.lax.all_gather(pred_l, axes, tiled=True)
             pos_g = jax.lax.all_gather(pos_l, axes, tiled=True)
             prev_g = jax.lax.all_gather(state.traj, axes, tiled=True)
-            goal_g = jax.lax.all_gather(state.desired_goal, axes,
+            goal_g = jax.lax.all_gather(desired_goal_l, axes,
                                         tiled=True)
             self_mask = my_ids[:, None] == jnp.arange(N)[None, :]
         elif two_level:
@@ -181,7 +191,7 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
             pred_g = view(pred_l)
             pos_g = view(pos_l)
             prev_g = view(state.traj)
-            goal_g = view(state.desired_goal)
+            goal_g = view(desired_goal_l)
             V = (2 * H + 1) * Lh
             col = jnp.arange(V)
             local = jax.lax.axis_index(AGENT_AXIS) * L + jnp.arange(L)
@@ -192,7 +202,7 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
             pred_g = _ring_halo(pred_l, H, n_dev)
             pos_g = _ring_halo(pos_l, H, n_dev)
             prev_g = _ring_halo(state.traj, H, n_dev)
-            goal_g = _ring_halo(state.desired_goal, H, n_dev)
+            goal_g = _ring_halo(desired_goal_l, H, n_dev)
             V = (2 * H + 1) * L
             # self block sits at offset index H in the view
             col = jnp.arange(V)
@@ -220,10 +230,20 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
             radius=sim.radius[my_ids], downwash=sim.downwash[my_ids],
             nominal_velocity=sim.nominal_velocity[my_ids],
             max_vel=sim.max_vel[my_ids], max_acc=sim.max_acc[my_ids],
-            desired_goal=state.desired_goal,
+            desired_goal=desired_goal_l,
             sfc_prev=state.sfc, sfc_initialize=sfc_initialize,
             sfc_seed=sfc_seed, rescue_goal=rescue_goal,
-            rescue_active=rescue_active, **obs_attrs)
+            rescue_active=rescue_active, dyn_pos=dyn_pos,
+            dyn_vel=dyn_vel, **obs_attrs)
+
+        # QPFAILED feasible fallback, identical to the single-chip cycle
+        # (traj_optimizer.cpp:99-144 analog): a violating solution is
+        # replaced by the shifted previous solution, which is feasible
+        # for every LSC plane by construction -- one bad solve cannot
+        # poison the swarm through next cycle's gathered predictions.
+        qp_failed = res.primal_res > p.qp_failure_threshold
+        res = res._replace(traj=jnp.where(qp_failed[:, None, None, None],
+                                          init_l, res.traj))
 
         # --- audit on gathered sampled positions (replicated scalar) ---
         ts = audit._sample_times(p.multisim_record_time_step,
@@ -236,6 +256,20 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
         seg = jnp.linalg.norm(jnp.diff(pos_samples, axis=0), axis=-1)
         step_dist = jnp.sum(seg)
 
+        # dynamic-obstacle + static-box safety audit (replicated min,
+        # multi_sync_simulator.cpp:446-503 parity with the single chip)
+        obs_safety = state.safety_obs_min
+        if sim.O_dyn and dyn_pos is not None:
+            local_min = audit.obstacle_safety_ratio(
+                pos_l, dyn_pos, sim.radius[my_ids], sim.obs_radius_dyn)
+            obs_safety = jnp.minimum(
+                obs_safety, jax.lax.pmin(local_min, axes))
+        if sim.static_boxes.shape[0]:
+            local_min = audit.static_box_safety_ratio(
+                pos_l, sim.static_boxes, sim.radius[my_ids])
+            obs_safety = jnp.minimum(
+                obs_safety, jax.lax.pmin(local_min, axes))
+
         new_state = SwarmState(
             traj=res.traj, pos=pos_l, vel=vel_l, acc=acc_l,
             current_goal=current_goal, seq=state.seq + 1,
@@ -245,22 +279,27 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
             distance=state.distance + step_dist,
             sfc=sfc if sfc is not None else state.sfc,
             sfc_initialized=jnp.ones_like(state.sfc_initialized),
-            start=state.start, desired_goal=state.desired_goal,
-            safety_obs_min=state.safety_obs_min,
+            start=start_l, desired_goal=desired_goal_l,
+            safety_obs_min=obs_safety,
             stall_count=stall_count, rescue_goal=rescue_goal,
             rescue_active=rescue_active, rescue_phase=rescue_phase,
             slack_flags=state.slack_flags)
         info = CycleInfo(safety_step_min=safety_step, qp_cost=res.cost,
-                         primal_res=res.primal_res)
+                         primal_res=res.primal_res, qp_failed=qp_failed)
         return new_state, info
 
-    sharded = shard_map(body, mesh=mesh,
-                        in_specs=(specs,),
-                        out_specs=(specs,
-                                   CycleInfo(safety_step_min=P(),
-                                             qp_cost=P(axes),
-                                             primal_res=P(axes))),
-                        check_vma=False)
+    info_specs = CycleInfo(safety_step_min=P(), qp_cost=P(axes),
+                           primal_res=P(axes), qp_failed=P(axes))
+    if sim.O_dyn:
+        sharded = shard_map(body, mesh=mesh,
+                            in_specs=(specs, P(), P()),
+                            out_specs=(specs, info_specs),
+                            check_vma=False)
+    else:
+        sharded = shard_map(lambda s: body(s), mesh=mesh,
+                            in_specs=(specs,),
+                            out_specs=(specs, info_specs),
+                            check_vma=False)
     return jax.jit(sharded)
 
 

@@ -470,15 +470,16 @@ class TrajOptimizer:
 
         # --- cost: P (N, dim, nf, nf) block-diag, q (N, dim, nf) ---
         w_ci = p.control_input_weight
-        w_t = p.terminal_weight
+        w_t = self._terminal_weight(dist_to_goal, dtype)       # (N,)
         P_ci = 2.0 * w_ci * FQF                               # (nf, nf)
-        P_term = 2.0 * w_t * jnp.einsum("nm,mf,mg->nfg", tmask, U, U)
+        P_term = 2.0 * w_t[:, None, None] * \
+            jnp.einsum("nm,mf,mg->nfg", tmask, U, U)
         P_dimblk = P_ci[None, None] + P_term[:, None]          # (N,1,nf,nf)
         P_dimblk = jnp.broadcast_to(P_dimblk, (N, dim, nf, nf))
 
         g_end = g_seg[..., :, n]                               # (N, dim, M)
         q_ci = 2.0 * w_ci * jnp.einsum("fp,nkp->nkf", FQ, gx)
-        q_term = 2.0 * w_t * jnp.einsum(
+        q_term = 2.0 * w_t[:, None, None] * jnp.einsum(
             "nm,mf,nkm->nkf", tmask, U, g_end - current_goal[..., None])
         q = (q_ci + q_term).reshape(N, nv)
 
@@ -592,6 +593,33 @@ class TrajOptimizer:
         return self._recover(sol, N, dtype, slack_vals, slack_wts, tmask,
                              current_goal, gx)
 
+    def _terminal_weight(self, dist_to_goal, dtype):
+        """Per-agent terminal weight (N,).
+
+        mode "simple": the constant `terminal_weight` the reference
+        ships (traj_optimizer.cpp:353-355).  mode "distance": the
+        reference authors' clamped distance-scaled variant
+        min(w / dist, 10) (traj_optimizer.cpp:345-352, left commented
+        out there).  The default is "distance": with the shipped
+        constant weight the endgame is a weakly-damped oscillator (the
+        jerk Gram outweighs the goal pull ~1e4:1, so plans coast
+        through the goal and park ~0.2 m beyond -- a ring attractor
+        that strands f32 runs short of the all-agents-at-goal finish
+        condition); scaling the pull up near the goal critically damps
+        the final approach while leaving en-route behavior identical."""
+        p = self.param
+        if p.terminal_weight_mode == "distance":
+            # clamped BELOW at the shipped constant -- w/dist alone
+            # (the reference's literal variant) DROPS below w beyond
+            # 1 m and visibly slows en-route progress (forest missions
+            # stopped finishing); the floor keeps everything except the
+            # final approach identical to "simple" mode
+            w = jnp.clip(
+                p.terminal_weight / jnp.maximum(dist_to_goal, 1e-3),
+                p.terminal_weight, 10.0 * p.terminal_weight)
+            return w.astype(dtype)
+        return jnp.full(dist_to_goal.shape, p.terminal_weight, dtype)
+
     def _recover(self, sol, N, dtype, slack_vals, slack_wts, tmask,
                  current_goal, gx):
         """Map the QP solution back to control points and the CPLEX-parity
@@ -599,7 +627,6 @@ class TrajOptimizer:
         M, n, dim = self.M, self.n, self.dim
         nf, nv = self.nf, self.nv
         w_ci = self.param.control_input_weight
-        w_t = self.param.terminal_weight
         F = jnp.asarray(self.F, dtype)
 
         y_sol = sol.y[:, :nv]
@@ -611,6 +638,9 @@ class TrajOptimizer:
         Qf = jnp.asarray(self.Q_full, dtype)
         cost_ci = w_ci * jnp.einsum("nkp,pq,nkq->n", x, Qf, x)
         endpoints = traj[:, :, n, :]                       # (N, M, 3)
+        pos0 = traj[:, 0, 0, :]                            # (N, 3)
+        w_t = self._terminal_weight(
+            jnp.linalg.norm(current_goal - pos0, axis=-1), dtype)
         cost_term = w_t * jnp.einsum(
             "nm,nmk->n", tmask, (endpoints - current_goal[:, None]) ** 2)
         cost = cost_ci + cost_term
