@@ -194,12 +194,17 @@ class Param:
     # start at the previous cycle's optimum, gap + primal alone are
     # satisfied after 1-2 iterations while y is still the STALE optimum
     # (Mehrotra collapses mu first) -- exiting there freezes the agent
-    # (the round-3 endgame-stall regression).  Setting any tolerance to
-    # 0 disables early exit (fixed iteration count; used by tests that
-    # need cross-path determinism).
+    # (the round-3 endgame-stall regression).  qp_tol_rd is ABSOLUTE in
+    # raw objective-gradient units: the stale-point residual is the
+    # goal-pull force ~ 2 w_t dist (O(1) and independent of the
+    # jerk-Gram scale), while the f32 noise floor of evaluating r_d at
+    # the raw ~1e4 P scale is ~0.02 -- 0.05 separates them ~40x in both
+    # directions.  Setting any tolerance to 0 disables early exit
+    # (fixed iteration count; used by tests that need cross-path
+    # determinism).
     qp_tol_gap: float = 1e-6
     qp_tol_rp: float = 1e-4
-    qp_tol_rd: float = 1e-4
+    qp_tol_rd: float = 0.05
     # Fused single-launch Pallas IPM dispatch: "auto" (TPU/f32),
     # "off" (always the XLA factored-row path; diagnostic A/B switch).
     qp_fused_mode: str = "auto"

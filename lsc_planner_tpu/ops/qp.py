@@ -131,13 +131,14 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
     pre-equilibrated (unit-ish row norms) and pre-masked.
 
     `iters` is a CAP when tol_gap/tol_rp > 0: the loop exits once EVERY
-    instance reaches complementarity gap < tol_gap * sigma with primal
-    residual < tol_rp AND dual residual max|Py + q - A'lam| <
-    tol_rd * sigma, where sigma = `tol_scale` (per-instance objective
-    scale, see _objective_sigma; 1 if None) -- same contract as the
-    fused Pallas kernel.  Warm-started steady-state cycles converge in
-    well under half the cap; the cap provides headroom for congested
-    cycles.
+    instance reaches complementarity gap < tol_gap * sigma (sigma =
+    `tol_scale`, the per-instance objective scale from _objective_sigma;
+    1 if None) with primal residual < tol_rp AND ABSOLUTE dual residual
+    max|Py + q - A'lam| < tol_rd (raw gradient units -- see the exit
+    test below for why this one must not be sigma-relative) -- same
+    contract as the fused Pallas kernel.  Warm-started steady-state
+    cycles converge in well under half the cap; the cap provides
+    headroom for congested cycles.
 
     The dual-residual term is NOT optional: a warm start at the previous
     cycle's optimum is primal-feasible with near-zero slacks on inactive
@@ -190,9 +191,15 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
         mu = jnp.mean(s * lam, axis=-1)
         # convergence of the CURRENT iterate (checked before stepping so
         # the flag lags one iteration; the while cond consumes it)
+        # tol_rd is ABSOLUTE (raw gradient units): the stale-point
+        # residual is the goal-pull force ~ 2 w_t dist (O(1)), unrelated
+        # to the jerk-Gram scale sigma -- a sigma-relative threshold
+        # sits exactly on top of it and freezes agents ~1 m from goal
+        # (observed on TPU empty-world corpus missions), while the f32
+        # evaluation noise floor of r_d is ~40x below the stale value.
         done = jnp.all((mu < tol_gap * tscale) &
                        (jnp.max(jnp.abs(r_p), axis=-1) < tol_rp) &
-                       (jnp.max(jnp.abs(r_d), axis=-1) < tol_rd * tscale)) \
+                       (jnp.max(jnp.abs(r_d), axis=-1) < tol_rd)) \
             if (tol_gap > 0.0 and tol_rp > 0.0 and tol_rd > 0.0) \
             else jnp.asarray(False)
 
@@ -305,7 +312,7 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
                  s_min: float = 1.0, static_blocks=None,
                  P_blk=None, fused_mode: str = "auto",
                  tol_gap: float = 1e-3, tol_rp: float = 1e-4,
-                 tol_rd: float = 1e-4
+                 tol_rd: float = 0.05
                  ) -> QPSolution:
     """Factored-row QP solve for the production LSC/SFC path.
 
@@ -393,7 +400,8 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
         b_pl = jnp.where(live, rhs_d * scale, -1.0)
         b = jnp.concatenate([b_st, b_pl.reshape(N, C * M * n1)], axis=1)
 
-        nsc = normal.astype(dtype)               # (N, C, M, 3)
+        nsc = normal.astype(dtype)               # (N, C, M, kdim)
+        kdim = normal.shape[-1]                  # 3, or 2 in 2-D mode
         R_s = A_st.shape[0]
 
         def mv_st(y):
@@ -412,10 +420,10 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
             return jnp.einsum("kuf,nku->nkf", U, w_pair).reshape(N, nv)
 
         # static (M*n1, nf*nf) outer-product basis: turns the plane Gram
-        # into ONE (9, M*n1) x (M*n1, nf*nf) MXU matmul per agent instead
-        # of a 3-operand contraction XLA may order badly
+        # into ONE (kdim^2, M*n1) x (M*n1, nf*nf) MXU matmul per agent
+        # instead of a 3-operand contraction XLA may order badly
         FF = jnp.einsum("mif,mig->mifg", F_seg, F_seg)
-        eye3 = jnp.eye(3, dtype=dtype)
+        eye_k = jnp.eye(kdim, dtype=dtype)
 
         def gram_st_blocks(d_st):
             """(N, ndim, nf, nf) diagonal blocks of the static-row Gram
@@ -425,8 +433,8 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
             return jnp.einsum("kuf,nku,kug->nkfg", U, d_pair, U)
 
         def mv(y):
-            y3 = y.reshape(N, 3, nf)
-            x = jnp.einsum("mif,nkf->nkmi", F_seg, y3)      # (N,3,M,n+1)
+            y3 = y.reshape(N, kdim, nf)
+            x = jnp.einsum("mif,nkf->nkmi", F_seg, y3)    # (N,kdim,M,n+1)
             pl = jnp.einsum("ncmk,nkmi->ncmi", nsc, x) * scale
             return jnp.concatenate([mv_st(y), pl.reshape(N, -1)], axis=1)
 
@@ -447,7 +455,7 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
             # fold the block-diagonal static Gram into the plane Gram
             # without materializing a scattered (N, nv, nv) buffer
             H_blk = gram_st_blocks(d[:, :R_s])
-            H_pl = H_pl + jnp.einsum("nkfg,kl->nkflg", H_blk, eye3)
+            H_pl = H_pl + jnp.einsum("nkfg,kl->nkflg", H_blk, eye_k)
             return H_pl.reshape(N, nv, nv)
 
         if y0 is not None:
@@ -484,8 +492,8 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
             lam = jnp.concatenate([lam_perm[:, inv_row_perm], lam_p],
                                   axis=1)
             obj = 0.5 * jnp.einsum(
-                "nkf,nfg,nkg->n", y.reshape(N, 3, nf),
-                P_blk.astype(dtype), y.reshape(N, 3, nf)) + \
+                "nkf,nfg,nkg->n", y.reshape(N, kdim, nf),
+                P_blk.astype(dtype), y.reshape(N, kdim, nf)) + \
                 jnp.einsum("nv,nv->n", q, y)
             primal_res = jnp.max(jnp.maximum(b - mv(y), 0.0), axis=-1)
             return QPSolution(y=y, lam=lam, obj=obj,

@@ -172,7 +172,17 @@ class TrajOptimizer:
 
     @cached_property
     def dim(self):
-        return 3  # state kept 3-D; 2-D worlds pin z via world bounds
+        """QP dimensions: 2-D worlds drop the z variable block entirely
+        (the reference treats world_dimension == 2 first-class -- every
+        `if (dim == 3)` in traj_optimizer.cpp:261-539 skips z).  The z
+        trajectory is the equality particular solution G @ (z0, vz0,
+        az0) with zero free part -- an exact constant hold for the
+        steady 2-D state (z0 = z_2d, vz0 = az0 = 0) -- and plane rows
+        keep their full 3-D right-hand side while contributing only
+        in-plane coefficients, exactly as the reference's 2-D rows do.
+        Cuts the KKT system from (3 nf)^2 to (2 nf)^2: ~2.2x per solve.
+        """
+        return 2 if self.param.world_dimension == 2 else 3
 
     @cached_property
     def _FG(self):
@@ -252,10 +262,11 @@ class TrajOptimizer:
     def extract_y(self, traj):
         """Map trajectories (N, M, n+1, 3) to warm-start vectors (N, nv).
         Exact when traj lies on the equality manifold (prev-solution
-        shifts); approximate otherwise (still a useful IPM start)."""
+        shifts); approximate otherwise (still a useful IPM start).
+        In 2-D mode only the x/y blocks are extracted."""
         N = traj.shape[0]
-        x = traj.transpose(0, 3, 1, 2).reshape(N, self.dim,
-                                               self.M * (self.n + 1))
+        x = traj.transpose(0, 3, 1, 2)[:, :self.dim].reshape(
+            N, self.dim, self.M * (self.n + 1))
         y = x[:, :, self.y_extract_idx]
         return y.reshape(N, self.nv)
 
@@ -452,11 +463,15 @@ class TrajOptimizer:
         G = jnp.asarray(self.G, dtype)                  # (nvx, 3)
         F_seg = jnp.asarray(self.F_seg, dtype)          # (M, n+1, nf)
 
-        # per-dim init vector [p0_k, v0_k, a0_k]
+        # per-dim init vector [p0_k, v0_k, a0_k]; gx3 keeps ALL 3 dims
+        # (the z particular solution is the whole z trajectory in 2-D
+        # mode and the plane-row rhs needs it), gx only the QP dims
         s0 = jnp.stack([pos, vel, acc], axis=1)         # (N, phi, 3)
-        s0 = jnp.swapaxes(s0, 1, 2)                     # (N, dim, phi)
-        gx = jnp.einsum("pj,nkj->nkp", G, s0)           # (N, dim, nvx)
-        g_seg = gx.reshape(N, dim, M, n + 1)
+        s0 = jnp.swapaxes(s0, 1, 2)                     # (N, 3, phi)
+        gx3 = jnp.einsum("pj,nkj->nkp", G, s0)          # (N, 3, nvx)
+        g_seg3 = gx3.reshape(N, 3, M, n + 1)
+        gx = gx3[:, :dim]
+        g_seg = g_seg3[:, :dim]
 
         # --- terminal weight mask (getTerminalSegments,
         #     traj_optimizer.cpp:541-548) ---
@@ -480,7 +495,8 @@ class TrajOptimizer:
         g_end = g_seg[..., :, n]                               # (N, dim, M)
         q_ci = 2.0 * w_ci * jnp.einsum("fp,nkp->nkf", FQ, gx)
         q_term = 2.0 * w_t[:, None, None] * jnp.einsum(
-            "nm,mf,nkm->nkf", tmask, U, g_end - current_goal[..., None])
+            "nm,mf,nkm->nkf", tmask, U,
+            g_end - current_goal[:, :dim, None])
         q = (q_ci + q_term).reshape(N, nv)
 
         # expand block-diagonal P to (N, nv, nv)
@@ -490,10 +506,15 @@ class TrajOptimizer:
                 P_dimblk[:, k])
 
         # --- plane (LSC/SFC) rows ---
-        normal, rhs, cmask = planes.normal, planes.rhs, planes.mask
-        C = normal.shape[1]
+        # the rhs correction uses the FULL 3-D particular solution (in
+        # 2-D mode the z part -- a held constant -- folds the n_z * z
+        # term into b, matching the reference's 2-D rows); the row
+        # coefficients then carry only the QP dims
+        normal3, rhs, cmask = planes.normal, planes.rhs, planes.mask
+        C = normal3.shape[1]
         b_pl4 = rhs.astype(dtype) - jnp.einsum(
-            "ncmk,nkmi->ncmi", normal.astype(dtype), g_seg)  # (N,C,M,n+1)
+            "ncmk,nkmi->ncmi", normal3.astype(dtype), g_seg3)  # (N,C,M,n+1)
+        normal = normal3[..., :dim]
         i_idx = jnp.arange(n + 1)
         iskip = (m_idx[:, None] > 0) | (i_idx[None, :] >= phi)  # (M, n+1)
         ncs_mask = m_idx < p.n_constraint_segments               # (M,)
@@ -529,7 +550,7 @@ class TrajOptimizer:
                 P_blk=P_dimblk[:, 0],
                 fused_mode=p.qp_fused_mode)
             return self._recover(sol, N, dtype, None, None, tmask,
-                                 current_goal, gx)
+                                 current_goal, gx3)
 
         # dense rows
         A_pl = jnp.einsum("ncmk,mif->ncmikf", normal.astype(dtype), F_seg)
@@ -591,7 +612,7 @@ class TrajOptimizer:
 
         slack_vals = sol.y[:, nv:] if slack is not None else None
         return self._recover(sol, N, dtype, slack_vals, slack_wts, tmask,
-                             current_goal, gx)
+                             current_goal, gx3)
 
     def _terminal_weight(self, dist_to_goal, dtype):
         """Per-agent terminal weight (N,).
@@ -621,9 +642,11 @@ class TrajOptimizer:
         return jnp.full(dist_to_goal.shape, p.terminal_weight, dtype)
 
     def _recover(self, sol, N, dtype, slack_vals, slack_wts, tmask,
-                 current_goal, gx):
+                 current_goal, gx3):
         """Map the QP solution back to control points and the CPLEX-parity
-        objective value (shared by the dense and factored paths)."""
+        objective value (shared by the dense and factored paths).
+        gx3 (N, 3, nvx): in 2-D mode its z row IS the output z trajectory
+        (held particular solution; zero free part)."""
         M, n, dim = self.M, self.n, self.dim
         nf, nv = self.nf, self.nv
         w_ci = self.param.control_input_weight
@@ -631,18 +654,32 @@ class TrajOptimizer:
 
         y_sol = sol.y[:, :nv]
         y_dims = y_sol.reshape(N, dim, nf)
-        x = jnp.einsum("pf,nkf->nkp", F, y_dims) + gx     # (N, dim, nvx)
-        traj = x.reshape(N, dim, M, n + 1).transpose(0, 2, 3, 1)
+        x = jnp.einsum("pf,nkf->nkp", F, y_dims) + gx3[:, :dim]
+        if dim < 3:
+            # z hold: free z control points pinned at z0 (= gx3's
+            # determined (0,0) entry), so the z trajectory is the
+            # smooth equality-manifold continuation to hover at z0 --
+            # exactly constant for the steady 2-D state
+            z0 = gx3[:, 2, 0]                               # (N,)
+            Fs = jnp.sum(F, axis=1)                         # (nvx,)
+            z_row = z0[:, None] * Fs[None, :] + gx3[:, 2]
+            x = jnp.concatenate([x, z_row[:, None, :]], axis=1)
+        traj = x.reshape(N, 3, M, n + 1).transpose(0, 2, 3, 1)
 
-        # cost in x-space for CPLEX-objective parity
+        # cost in x-space for CPLEX-objective parity (2-D: the held z
+        # polynomial is constant for steady states, so its jerk cost is
+        # ~0 and the z terminal term is absent -- matching the
+        # reference's dim==2 objective)
         Qf = jnp.asarray(self.Q_full, dtype)
-        cost_ci = w_ci * jnp.einsum("nkp,pq,nkq->n", x, Qf, x)
+        cost_ci = w_ci * jnp.einsum("nkp,pq,nkq->n", x[:, :dim], Qf,
+                                    x[:, :dim])
         endpoints = traj[:, :, n, :]                       # (N, M, 3)
         pos0 = traj[:, 0, 0, :]                            # (N, 3)
         w_t = self._terminal_weight(
             jnp.linalg.norm(current_goal - pos0, axis=-1), dtype)
         cost_term = w_t * jnp.einsum(
-            "nm,nmk->n", tmask, (endpoints - current_goal[:, None]) ** 2)
+            "nm,nmk->n", tmask,
+            (endpoints[..., :dim] - current_goal[:, None, :dim]) ** 2)
         cost = cost_ci + cost_term
         if slack_vals is not None:
             cost = cost + 0.5 * jnp.einsum("s,ns->n", slack_wts,

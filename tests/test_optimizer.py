@@ -164,3 +164,81 @@ def test_extract_y_roundtrip_on_manifold(rng):
             x.reshape(N, 3, p.M, p.n + 1).transpose(0, 2, 3, 1))
         y_ext = np.asarray(to.extract_y(traj)).reshape(N, 3, to.nf)
         np.testing.assert_allclose(y_ext, y, atol=1e-10)
+
+
+def test_2d_layout_halves_qp(rng):
+    """world_dimension == 2 drops the z block: nv = 2 nf, the returned z
+    trajectory is an exact hold at z0, and a planar solve matches the
+    3-D solve's x/y behavior (reference dim==2,
+    traj_optimizer.cpp:261-539 `if (dim == 3)` guards)."""
+    from lsc_planner_tpu.planner.optimizer import (PlaneConstraints,
+                                                   TrajOptimizer)
+    p2 = _param(world_dimension=2, world_z_2d=0.7)
+    to2 = TrajOptimizer(p2)
+    assert to2.dim == 2 and to2.nv == 2 * to2.nf
+
+    N, C = 4, 3
+    pos = jnp.asarray(np.concatenate(
+        [rng.normal(size=(N, 2)), np.full((N, 1), 0.7)], axis=1))
+    vel = jnp.zeros((N, 3)).at[:, :2].set(rng.normal(size=(N, 2)) * 0.1)
+    acc = jnp.zeros((N, 3))
+    goal = pos + jnp.asarray([1.5, 0.5, 0.0])
+    # planar separating planes a comfortable 2 m away
+    normal = np.zeros((N, C, p2.M, 3))
+    normal[..., 0] = 1.0
+    rhs = np.full((N, C, p2.M, p2.n + 1), float(jnp.min(pos[:, 0]) - 2.0))
+    planes = PlaneConstraints(normal=jnp.asarray(normal),
+                              rhs=jnp.asarray(rhs),
+                              mask=jnp.ones((N, C, p2.M), bool))
+    res = to2.solve(pos, vel, acc, goal,
+                    nominal_velocity=jnp.ones((N,)),
+                    max_vel=jnp.ones((N, 3)), max_acc=2 * jnp.ones((N, 3)),
+                    planes=planes, world_min=np.array([-50, -50, 0.0]),
+                    world_max=np.array([50, 50, 1.4]),
+                    dtype=jnp.float64)
+    traj = np.asarray(res.traj)
+    assert traj.shape == (N, p2.M, p2.n + 1, 3)
+    # z held exactly at z0 = 0.7 (steady planar state)
+    np.testing.assert_allclose(traj[..., 2], 0.7, atol=1e-12)
+    # x/y advance toward the goal
+    end = traj[:, -1, -1, :2]
+    d0 = np.linalg.norm(np.asarray(pos)[:, :2] - np.asarray(goal)[:, :2],
+                        axis=1)
+    d1 = np.linalg.norm(end - np.asarray(goal)[:, :2], axis=1)
+    assert np.all(d1 < d0)
+
+
+def test_2d_fused_pallas_matches_xla(rng):
+    """The fused Pallas IPM must handle ndim=2 tiles (interpret mode)."""
+    from lsc_planner_tpu.ops import qp
+    p2 = _param(world_dimension=2)
+    to2 = opt.TrajOptimizer(p2)
+    A_st = to2.A_static_y
+    nv, nf = to2.nv, to2.nf
+    N, C, M, n1 = 3, 4, to2.M, to2.n + 1
+
+    Lb = rng.normal(size=(N, nf, nf)) * 0.3
+    P_blk = (Lb @ np.swapaxes(Lb, -1, -2) +
+             2.0 * np.eye(nf)).astype(np.float32)
+    P = np.zeros((N, nv, nv), np.float32)
+    for k in range(2):
+        P[:, k * nf:(k + 1) * nf, k * nf:(k + 1) * nf] = P_blk
+    q = rng.normal(size=(N, nv)).astype(np.float32)
+    F_seg = to2.F_seg.astype(np.float32)
+    b_st = (rng.normal(size=(N, A_st.shape[0])) - 5.0).astype(np.float32)
+    normal = rng.normal(size=(N, C, M, 2)).astype(np.float32)
+    rhs = (rng.normal(size=(N, C, M, n1)) - 3.0).astype(np.float32)
+    mask = rng.uniform(size=(N, C, M, n1)) > 0.3
+    y0 = rng.normal(size=(N, nv)).astype(np.float32) * 0.1
+
+    common = [jnp.asarray(P), jnp.asarray(q), jnp.asarray(A_st),
+              jnp.asarray(b_st), jnp.asarray(normal), jnp.asarray(rhs),
+              jnp.asarray(mask), jnp.asarray(F_seg)]
+    kw = dict(y0=jnp.asarray(y0), iters=15,
+              static_blocks=to2.static_blocked, tol_gap=0.0, tol_rp=0.0)
+    ref = qp.solve_qp_lsc(*common, **kw, fused_mode="off")
+    fused = qp.solve_qp_lsc(*common, **kw, P_blk=jnp.asarray(P_blk),
+                            fused_mode="interpret")
+    np.testing.assert_allclose(np.asarray(fused.obj), np.asarray(ref.obj),
+                               rtol=1e-3, atol=1e-5)
+    assert float(jnp.max(fused.primal_res)) < 1e-4
