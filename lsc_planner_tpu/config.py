@@ -205,6 +205,15 @@ class Param:
     qp_tol_gap: float = 1e-6
     qp_tol_rp: float = 1e-4
     qp_tol_rd: float = 0.05
+    # Gondzio centrality correctors per IPM iteration (0 = plain
+    # Mehrotra).  The LSC structure replicates each neighbour's plane
+    # over ~M(n+1) near-identical rows whose degenerate duals stall
+    # plain Mehrotra at congestion (gap plateau ~1e-2,
+    # docs/TOLERANCES_r03.md); ONE corrector collapses the plateau to
+    # ~1e-5 at 14 iterations (measured on a captured congested
+    # 64-agent instance) for two extra triangular substitutions per
+    # iteration -- no extra factorization.
+    qp_correctors: int = 1
     # Fused single-launch Pallas IPM dispatch: "auto" (TPU/f32),
     # "off" (always the XLA factored-row path; diagnostic A/B switch).
     qp_fused_mode: str = "auto"

@@ -101,7 +101,8 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
                 y_ref, lam_s_ref, lam_p_ref, gap_ref, l_scr,
                 *, iters: int, ndim: int, nf: int, Ru: int, C: int,
                 M: int, n1: int, reg: float, s_min: float,
-                tol_gap: float, tol_rp: float, tol_rd: float):
+                tol_gap: float, tol_rp: float, tol_rd: float,
+                correctors: int):
     """One lane tile (B agents in lanes) of the full IPM solve.
 
     Tile shapes (B = lanes).  All plane-row buffers are FLAT 2-D
@@ -264,11 +265,47 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
         sm = sigma * mu
 
         # corrector
-        dy, ds, dl = kkt(rc_sp + ds_a[0] * dl_a[0] - sm[None, :],
-                         rc_sm + ds_a[1] * dl_a[1] - sm[None, :],
-                         rc_pl + ds_a[2] * dl_a[2] - sm[None, :])
+        rc_c = (rc_sp + ds_a[0] * dl_a[0] - sm[None, :],
+                rc_sm + ds_a[1] * dl_a[1] - sm[None, :],
+                rc_pl + ds_a[2] * dl_a[2] - sm[None, :])
+        dy, ds, dl = kkt(*rc_c)
         a_p = _step_len([s_sp, s_sm, s_pl], list(ds))
         a_d = _step_len([l_sp, l_sm, l_pl], list(dl))
+
+        # Gondzio centrality correctors (see ops/qp.py _ipm): re-center
+        # outlier complementarity products reusing the SAME VMEM factor
+        # -- the LSC row replication makes duals degenerate and plain
+        # Mehrotra's gap plateaus ~1e-2 at congestion; each corrector
+        # costs two extra triangular substitutions, no factorization.
+        for _ in range(correctors):
+            mu_t = sm[None, :]
+            svars = (s_sp, s_sm, s_pl)
+            lvars = (l_sp, l_sm, l_pl)
+            rc_n = []
+            for v, (sv, lv, dsv, dlv) in enumerate(
+                    zip(svars, lvars, ds, dl)):
+                s_t = sv + a_p * dsv if v < 2 else sv + a_p[None] * dsv
+                l_t = lv + a_d * dlv if v < 2 else lv + a_d[None] * dlv
+                prod = s_t * l_t
+                target = jnp.clip(prod, 0.1 * mu_t, 10.0 * mu_t)
+                rc_n.append(rc_c[v] + (target - prod))
+            dy2, ds2, dl2 = kkt(*rc_n)
+            a_p2 = _step_len([s_sp, s_sm, s_pl], list(ds2))
+            a_d2 = _step_len([l_sp, l_sm, l_pl], list(dl2))
+            # material-improvement margin: see ops/qp.py _ipm
+            better = (a_p2 + a_d2 > a_p + a_d + 0.05).astype(jnp.float32)
+            nb = 1.0 - better
+
+            def mix(new, old, b=better, n=nb):
+                shape = (1,) * (new.ndim - 1) + (new.shape[-1],)
+                return new * b.reshape(shape) + old * n.reshape(shape)
+            dy = mix(dy2, dy)
+            ds = tuple(mix(a2, a1) for a2, a1 in zip(ds2, ds))
+            dl = tuple(mix(a2, a1) for a2, a1 in zip(dl2, dl))
+            rc_c = tuple(mix(a2, a1) for a2, a1 in zip(rc_n, rc_c))
+            a_p = a_p2 * better + a_p * nb
+            a_d = a_d2 * better + a_d * nb
+
         y_n = y + a_p[None, :] * dy
         s_sp_n = jnp.maximum(s_sp + a_p * ds[0], 1e-12)
         s_sm_n = jnp.maximum(s_sm + a_p * ds[1], 1e-12)
@@ -348,13 +385,13 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
 
 @partial(jax.jit, static_argnames=("iters", "reg", "s_min", "interpret",
                                    "block_b", "tol_gap", "tol_rp",
-                                   "tol_rd"))
+                                   "tol_rd", "correctors"))
 def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
                   sigma=None,
                   iters: int = 14, reg: float = 1e-8, s_min: float = 1.0,
                   interpret: bool = False, block_b: int = 128,
                   tol_gap: float = 1e-3, tol_rp: float = 1e-4,
-                  tol_rd: float = 0.05):
+                  tol_rd: float = 0.05, correctors: int = 0):
     """Solve the whole swarm's LSC QPs in one fused Pallas launch.
 
     P_blk (N, nf, nf); q/y0 (N, nv); U (ndim, Ru, nf) pre-scaled unique
@@ -433,7 +470,7 @@ def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
     y_l, lam_s_l, lam_p_l, gap_l = pl.pallas_call(
         partial(_ipm_kernel, iters=iters, ndim=ndim, nf=nf, Ru=Ru, C=C,
                 M=M, n1=n1, reg=reg, s_min=s_min, tol_gap=tol_gap,
-                tol_rp=tol_rp, tol_rd=tol_rd),
+                tol_rp=tol_rp, tol_rd=tol_rd, correctors=correctors),
         grid=grid,
         in_specs=[bspec((nf, nf)), bspec((nv,)), bspec((nv,)),
                   sspec((ndim, Ru, nf)), sspec((ndim, nf * nf, Ru)),

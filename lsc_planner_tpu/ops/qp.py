@@ -123,7 +123,7 @@ def _chol_solve(L, rhs):
 
 def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
          tol_gap: float = 0.0, tol_rp: float = 0.0,
-         tol_rd: float = 0.0, tol_scale=None):
+         tol_rd: float = 0.0, tol_scale=None, correctors: int = 0):
     """Shared Mehrotra predictor-corrector core.
 
     mv(y) -> (N, nr) = A y;  rmv(w) -> (N, nv) = A^T w;
@@ -242,6 +242,48 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
         dy, ds, dlam = kkt_finish(dsc * z_c, lam, s, r_p, r_c)
         a_p = step_len(s, ds)
         a_d = step_len(lam, dlam)
+
+        # Gondzio centrality correctors: re-center OUTLIER
+        # complementarity products reusing the SAME factorization.  The
+        # LSC row structure replicates each neighbour's plane over
+        # ~M(n+1) near-identical rows; their degenerate duals split
+        # arbitrarily, a few products collapse toward 0 while others
+        # blow past mu, and plain Mehrotra's step lengths stall (the
+        # congested-swarm gap plateau, docs/TOLERANCES_r03.md).  Each
+        # corrector clips the tentative products into
+        # [beta_min mu, beta_max mu] and solves for the compensating
+        # direction -- one extra pair of triangular solves per
+        # corrector against a full re-factorization per iteration.
+        for _ in range(correctors):
+            mu_t = sigma * mu                    # target
+            s_t = s + a_p[..., None] * ds
+            l_t = lam + a_d[..., None] * dlam
+            prod = s_t * l_t
+            lo = 0.1 * mu_t[..., None]
+            hi = 10.0 * mu_t[..., None]
+            target = jnp.clip(prod, lo, hi)
+            r_cc = r_c + (target - prod)
+            rhs_cc = kkt_rhs(lam, s, r_d, r_p, r_cc)
+            if use_lanes:
+                z_cc = chol_resolve(L, dsc * rhs_cc)
+            else:
+                z_cc = _chol_solve(L, dsc * rhs_cc)
+            dy2, ds2, dlam2 = kkt_finish(dsc * z_cc, lam, s, r_p, r_cc)
+            a_p2 = step_len(s, ds2)
+            a_d2 = step_len(lam, dlam2)
+            # accept per instance only where the step lengths improve
+            # MATERIALLY (0.05 margin): a knife-edge comparison flips
+            # between f32 and f64 on near-ties and makes the truncated
+            # solution a discontinuous function of rounding
+            better_s = a_p2 + a_d2 > a_p + a_d + 0.05   # (...,)
+            better = better_s[..., None]
+            dy = jnp.where(better, dy2, dy)
+            ds = jnp.where(better, ds2, ds)
+            dlam = jnp.where(better, dlam2, dlam)
+            r_c = jnp.where(better, r_cc, r_c)
+            a_p = jnp.where(better_s, a_p2, a_p)
+            a_d = jnp.where(better_s, a_d2, a_d)
+
         y_n = y + a_p[..., None] * dy
         s_n = jnp.maximum(s + a_p[..., None] * ds, 1e-12)
         lam_n = jnp.maximum(lam + a_d[..., None] * dlam, 1e-12)
@@ -277,7 +319,8 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
 
 def solve_qp(P, q, A, b, mask=None, y0=None, iters: int = 20,
              reg: float = 1e-8, s_min: float = 1.0,
-             equilibrate: bool = True) -> QPSolution:
+             equilibrate: bool = True,
+             correctors: int = 0) -> QPSolution:
     """Batched inequality-form QP solve over dense rows; see module
     docstring.
 
@@ -304,7 +347,8 @@ def solve_qp(P, q, A, b, mask=None, y0=None, iters: int = 20,
         def gram(d):
             return jnp.einsum("...rv,...r,...rw->...vw", A, d, A)
 
-        return _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min)
+        return _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
+                    correctors=correctors)
 
 
 def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
@@ -312,7 +356,7 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
                  s_min: float = 1.0, static_blocks=None,
                  P_blk=None, fused_mode: str = "auto",
                  tol_gap: float = 1e-3, tol_rp: float = 1e-4,
-                 tol_rd: float = 0.05
+                 tol_rd: float = 0.05, correctors: int = 0
                  ) -> QPSolution:
     """Factored-row QP solve for the production LSC/SFC path.
 
@@ -485,7 +529,8 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
                 scale, b_pl, F_seg, sigma.astype(dtype),
                 iters=iters, reg=reg, s_min=s_min,
                 interpret=(fused_mode == "interpret"),
-                tol_gap=tol_gap, tol_rp=tol_rp, tol_rd=tol_rd)
+                tol_gap=tol_gap, tol_rp=tol_rp, tol_rd=tol_rd,
+                correctors=correctors)
             # duals back to [static original order, plane rows]
             lam_perm = jnp.stack([lam_s[:, 0], lam_s[:, 1]],
                                  axis=-1).reshape(N, R_s)
@@ -502,7 +547,7 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
 
         sol = _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
                    tol_gap=tol_gap, tol_rp=tol_rp, tol_rd=tol_rd,
-                   tol_scale=sigma)
+                   tol_scale=sigma, correctors=correctors)
         return sol._replace(warm_res=warm_res, warm_row=warm_row)
 
 

@@ -544,7 +544,7 @@ class TrajOptimizer:
                 P, q, self.A_static_y, b_st, normal.astype(dtype), b_pl4,
                 mask_pl4, F_seg, y0=y_warm, iters=p.qp_iterations,
                 tol_gap=p.qp_tol_gap, tol_rp=p.qp_tol_rp,
-                tol_rd=p.qp_tol_rd,
+                tol_rd=p.qp_tol_rd, correctors=p.qp_correctors,
                 s_min=p.qp_s_min,
                 static_blocks=self.static_blocked,
                 P_blk=P_dimblk[:, 0],
@@ -608,7 +608,8 @@ class TrajOptimizer:
                     [y_warm, jnp.zeros((N, S), dtype)], axis=1)
 
         sol = qp_ops.solve_qp(P, q, A, b, mask=mask, y0=y_warm,
-                              iters=p.qp_iterations, s_min=p.qp_s_min)
+                              iters=p.qp_iterations, s_min=p.qp_s_min,
+                              correctors=p.qp_correctors)
 
         slack_vals = sol.y[:, nv:] if slack is not None else None
         return self._recover(sol, N, dtype, slack_vals, slack_wts, tmask,

@@ -69,7 +69,12 @@ def test_f32_matches_f64_single_cycle():
     mission = make_circle_mission(8, radius=3.0,
                                   world=(-5, -5, 0, 5, 5, 2.5))
     mission.add_noise(0.02, 3, rng=np.random.default_rng(5))
-    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14)
+    # early exit OFF: the f64 path reaches the dual-residual tolerance
+    # iterations before f32's cancellation floor allows, so with exit on
+    # the two dtypes run DIFFERENT iteration counts and the comparison
+    # measures truncation, not precision
+    p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14,
+              qp_tol_gap=0.0)
     trajs = {}
     pres = {}
     for name, dt in [("f32", jnp.float32), ("f64", jnp.float64)]:
