@@ -355,7 +355,8 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
                         _rowmax(jnp.abs(plv_n - s_pl_n - bpl))))
         # tol_rd is ABSOLUTE raw-gradient units (see ops/qp.py _ipm:
         # the stale-point residual ~ 2 w_t dist is O(1) regardless of
-        # the jerk-Gram sigma)
+        # the jerk-Gram sigma; at congested scales the f32 r_d noise
+        # floor exceeds tol_rd and the cap soundly governs)
         rdm = _rowmax(jnp.abs(rd_n))
         lane_done = (valid < 0.5) | \
             (ok & (mu_n < tol_gap * sig) & (rpm < tol_rp) &
@@ -372,7 +373,7 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
     carry = jax.lax.while_loop(
         lambda c: jnp.logical_and(c[0] < iters, c[1] == 0),
         iteration, carry)
-    it, _, y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl, _, _, _ = carry
+    it, _, y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl = carry[:9]
 
     y_ref[:] = y
     lam_s_ref[0] = l_sp
@@ -495,4 +496,5 @@ def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
     lam_s = jnp.moveaxis(lam_s_l[..., :N], -1, 0)
     lam_p = jnp.moveaxis(lam_p_l[..., :N], -1, 0).reshape(N, C * MI)
     gap = gap_l[0, :N]
-    return y, lam_s, lam_p, gap
+    iters_used = gap_l[1, :N]     # per-lane tile iteration count
+    return y, lam_s, lam_p, gap, iters_used

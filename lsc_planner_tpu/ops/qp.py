@@ -35,10 +35,14 @@ final iterate; callers report argmax rows.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# LSC_QP_DEBUG=1: per-iteration exit-signal trace from _ipm
+_QP_DEBUG = bool(os.environ.get("LSC_QP_DEBUG"))
 
 
 class QPSolution(NamedTuple):
@@ -197,11 +201,25 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
         # sits exactly on top of it and freezes agents ~1 m from goal
         # (observed on TPU empty-world corpus missions), while the f32
         # evaluation noise floor of r_d is ~40x below the stale value.
+        # At congested swarm scales the f32 cancellation floor of
+        # evaluating r_d (~0.4 at sigma |y| ~ 1e7) sits ABOVE tol_rd, so
+        # the exit deliberately does not fire there and the iteration
+        # cap governs congested cost -- a sound non-exit.  (A
+        # step-displacement alternative was measured and rejected: the
+        # converged f32 iterate jitters in a ~1-2.5 cm band forever, and
+        # accepting that band as "converged" compounds into 30-50 %
+        # longer flights in octomap worlds.)
         done = jnp.all((mu < tol_gap * tscale) &
                        (jnp.max(jnp.abs(r_p), axis=-1) < tol_rp) &
                        (jnp.max(jnp.abs(r_d), axis=-1) < tol_rd)) \
             if (tol_gap > 0.0 and tol_rp > 0.0 and tol_rd > 0.0) \
             else jnp.asarray(False)
+        if _QP_DEBUG:
+            jax.debug.print(
+                "it={i} mu_max={m:.2e} gap_tol_max={g:.2e} rp={p:.2e} "
+                "rd={d:.2e}", i=it,
+                m=jnp.max(mu), g=jnp.max(tol_gap * tscale),
+                p=jnp.max(jnp.abs(r_p)), d=jnp.max(jnp.abs(r_d)))
 
         D = lam / s
         H = P + gram(D)
@@ -524,7 +542,7 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
             bp = b_st[:, row_perm]                       # pair-major
             b_pairs = jnp.stack([bp[:, 0::2], bp[:, 1::2]], axis=1)
             y0f = y0 if y0 is not None else jnp.zeros((N, nv), dtype)
-            y, lam_s, lam_p, gap = ipm_lsc_fused(
+            y, lam_s, lam_p, gap, _it_used = ipm_lsc_fused(
                 P_blk.astype(dtype), q, y0f, U, b_pairs, nsc,
                 scale, b_pl, F_seg, sigma.astype(dtype),
                 iters=iters, reg=reg, s_min=s_min,
