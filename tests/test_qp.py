@@ -284,3 +284,67 @@ def test_factored_lsc_matches_dense(rng):
                                np.asarray(dense.obj), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(fact.primal_res),
                                np.asarray(dense.primal_res), atol=1e-6)
+
+
+def test_gondzio_correctors_fix_degenerate_row_plateau():
+    """The LSC structure replicates each neighbour's plane over ~M(n+1)
+    near-identical rows; their degenerate duals stall plain Mehrotra in
+    f32 (gap plateau ~1e-2 at congestion regardless of iteration count,
+    docs/TOLERANCES_r03/r04).  Reproduced on a REAL captured instance:
+    drive a 64-agent circle exchange into its congested phase, capture
+    one cycle's QP, and require one centrality corrector to beat the
+    corrector-less plateau by >= 10x at the same iteration count."""
+    import math
+    import jax
+    from lsc_planner_tpu.config import Param, GoalMode
+    from lsc_planner_tpu.missions import make_circle_mission
+    from lsc_planner_tpu.sim.simulator import SyncSimulator
+
+    qn = 64
+    radius = max(4.0, 0.45 * qn / math.pi)
+    w = radius + 2.0
+    mission = make_circle_mission(qn, radius=radius,
+                                  world=(-w, -w, 0, w, w, 2.5))
+    p = Param(goal_mode=GoalMode.PRIOR_BASED)
+    sim = SyncSimulator(mission, p, dtype=jnp.float32)
+    state = sim.initial_state()
+    for _ in range(40):                      # into the crossing phase
+        state, _ = sim._cycle_jit(state)
+
+    captured = {}
+    orig = qp.solve_qp
+
+    def capture(*a, **k):
+        captured["a"], captured["k"] = a, dict(k)
+        return orig(*a, **k)
+
+    qp.solve_qp = capture
+    try:
+        pos, vel, acc = sim.propagate(state)
+        init, pred = sim.predict_and_init(state.traj, pos, vel, state.seq,
+                                          prev_goal=state.current_goal)
+        sim.plan_block(
+            pos, vel, acc, init, state.seq, pred_global=pred,
+            obs_pos_global=pos, obs_goal_global=state.desired_goal,
+            obs_prev_global=state.traj,
+            self_mask=jnp.eye(qn, dtype=bool),
+            radius=sim.radius, downwash=sim.downwash,
+            nominal_velocity=sim.nominal_velocity, max_vel=sim.max_vel,
+            max_acc=sim.max_acc, desired_goal=state.desired_goal,
+            sfc_prev=state.sfc, sfc_initialize=~state.sfc_initialized,
+            sfc_seed=state.traj[:, -1, -1, :])
+    finally:
+        qp.solve_qp = orig
+    P, q, A, b = captured["a"][:4]
+    kk = captured["k"]
+
+    gaps = {}
+    for corr in (0, 1):
+        sol = qp.solve_qp(P, q, A, b, mask=kk.get("mask"),
+                          y0=kk.get("y0"), iters=14, correctors=corr)
+        gaps[corr] = float(jnp.max(sol.gap))
+    # the plateau magnitude depends on the closed-loop state the capture
+    # lands on (1e-4 .. 1e-2 observed); the invariant property is the
+    # corrector's order-of-magnitude improvement at equal iterations
+    assert gaps[0] > 1e-5, f"capture not congested enough: {gaps}"
+    assert gaps[1] < gaps[0] / 10.0, gaps
