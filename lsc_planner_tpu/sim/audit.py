@@ -27,11 +27,29 @@ def _sample_times(record_time_step: float, time_step: float,
     return np.asarray(ts)
 
 
+def _sample_weight_matrix(ts, dt, M, n) -> np.ndarray:
+    """Precomputed Bernstein sample weights W (T, M, n+1): position at
+    time ts[t] of a piecewise curve with segment time dt is
+    einsum('mi,mid->d', W[t], ctrl).  Pure numpy (ts and dt are static
+    per config), so sampling costs ONE einsum instead of a traced
+    segment-lookup + basis evaluation per time point."""
+    from ..ops.bernstein import nchoosek
+    ts = np.asarray(ts, np.float64)
+    W = np.zeros((len(ts), M, n + 1))
+    binom = np.asarray([nchoosek(n, k) for k in range(n + 1)], np.float64)
+    for t_i, t in enumerate(ts):
+        m = min(max(int(np.floor(t / dt)), 0), M - 1)
+        tau = t / dt - m
+        i = np.arange(n + 1)
+        W[t_i, m] = binom * tau ** i * (1.0 - tau) ** (n - i)
+    return W
+
+
 def positions_at(trajs, ts, dt):
     """Sample positions of all agents at times ts: (T, N, 3)."""
-    def at_t(t):
-        return jax.vmap(lambda tr: bz.traj_state(tr, t, dt)["pos"])(trajs)
-    return jnp.stack([at_t(float(t)) for t in ts])
+    M, n1 = trajs.shape[-3], trajs.shape[-2]
+    W = jnp.asarray(_sample_weight_matrix(ts, dt, M, n1 - 1), trajs.dtype)
+    return jnp.einsum("tmi,nmid->tnd", W, trajs)
 
 
 def pairwise_safety_ratio(pos, radius, downwash):
