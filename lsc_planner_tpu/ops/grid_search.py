@@ -360,7 +360,16 @@ class GridPlanner:
                    obs_pos, obs_radius, obs_downwash, higher_mask):
         """Full prior-based grid pipeline for all agents: occupancy ->
         wavefront (with priority obstacles; static-only fallback when no
-        path, traj_planner.cpp:594-599) -> descent path -> LOS goal."""
+        path, traj_planner.cpp:594-599) -> descent path -> LOS goal.
+
+        Returns (los_goal (N, 3), path_floor (N, 3)).  path_floor is the
+        grid-path point ~2 cells along -- consecutive path cells are
+        axis-adjacent free cells with >= radius + grid_margin clearance,
+        so steering to it is always coverable by an axis-aligned SFC
+        expansion; the deadlock rescue uses it as its first escape
+        candidate when the LOS sub-goal points through a gap the
+        corridor cannot reach (blind rotations can wedge the agent
+        against a second obstacle instead)."""
         N = pos.shape[0]
         occ_hp = self.occupancy(radius, downwash, obs_pos, obs_radius,
                                 obs_downwash, higher_mask)
@@ -388,4 +397,6 @@ class GridPlanner:
         D = jnp.where(reachable[:, None, None, None], D_hp, D_st)
 
         path = jax.vmap(self.descend_path)(D, start)        # (N, P, 3)
-        return self.los_free_goal(path, init_end, desired_goal, radius)
+        los = self.los_free_goal(path, init_end, desired_goal, radius)
+        floor = path[:, min(2, path.shape[1] - 1), :]
+        return los, floor

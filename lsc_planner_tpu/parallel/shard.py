@@ -65,7 +65,8 @@ def state_specs(axes=AGENT_AXIS) -> SwarmState:
                       start=sharded, desired_goal=sharded,
                       safety_obs_min=rep, stall_count=sharded,
                       rescue_goal=sharded, rescue_active=sharded,
-                      rescue_phase=sharded, slack_flags=sharded)
+                      rescue_phase=sharded, slack_flags=sharded,
+                      path_floor=sharded, best_goal_dist=sharded)
 
 
 def _ring_halo(x, halo: int, n_ring: int, axis: str = AGENT_AXIS):
@@ -152,9 +153,12 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
         start_l, desired_goal_l = sim._patrol_swap(state, pos_l)
         from ..sim.simulator import _update_stall_count, _update_rescue, \
             _no_rescue
-        stall_count, progress = _update_stall_count(
-            state.stall_count, state.pos, pos_l, vel_l,
-            desired_goal_l, state.seq, p)
+        goal_changed = jnp.any(desired_goal_l != state.desired_goal,
+                               axis=-1)
+        best_prev = jnp.where(goal_changed, jnp.inf, state.best_goal_dist)
+        stall_count, progress, progress_best, best_goal_dist = \
+            _update_stall_count(state.stall_count, best_prev, state.pos,
+                                pos_l, vel_l, desired_goal_l, state.seq, p)
         if p.deadlock_rescue:
             # full candidate validation as on the single chip: without
             # the ESDF/world-bounds checks a rescue waypoint can latch
@@ -164,7 +168,8 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
                                stall_count, progress, p, esdf=sim.esdf,
                                radius=jnp.asarray(sim.radius)[my_ids],
                                world_min=sim.world_min,
-                               world_max=sim.world_max)
+                               world_max=sim.world_max,
+                               progress_best=progress_best)
         else:
             rescue_goal, rescue_active, rescue_phase = _no_rescue(state)
         init_l, pred_l = sim.predict_and_init(state.traj, pos_l, vel_l,
@@ -221,7 +226,7 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
         sfc_initialize = ~state.sfc_initialized
         sfc_seed = jnp.where(sfc_initialize[:, None], pos_l,
                              state.traj[:, -1, -1, :])
-        res, current_goal, sfc, _knn_ovf = sim.plan_block(
+        res, current_goal, sfc, _knn_ovf, path_floor = sim.plan_block(
             pos_l, vel_l, acc_l, init_l, state.seq,
             pred_global=pred_g, obs_pos_global=pos_g,
             obs_goal_global=goal_g,
@@ -283,7 +288,8 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
             safety_obs_min=obs_safety,
             stall_count=stall_count, rescue_goal=rescue_goal,
             rescue_active=rescue_active, rescue_phase=rescue_phase,
-            slack_flags=state.slack_flags)
+            slack_flags=state.slack_flags, path_floor=path_floor,
+            best_goal_dist=best_goal_dist)
         info = CycleInfo(safety_step_min=safety_step, qp_cost=res.cost,
                          primal_res=res.primal_res, qp_failed=qp_failed)
         return new_state, info

@@ -43,6 +43,12 @@ class GoalPlanner:
         obstacle (= all agents) view (N, ...); default to the local block
         (single-chip case).  self_mask: (L, N) bool marking each agent's
         own column.
+
+        Returns (current_goal (L, 3), path_floor (L, 3)).  path_floor is
+        the grid-path escape point for the deadlock rescue (see
+        GridPlanner.plan_goals); it degenerates to `pos` (an invalid
+        escape, skipped by the rescue) for modes/worlds without a grid
+        path.
         """
         mode = self.param.goal_mode
         if obs_pos is None:
@@ -51,16 +57,16 @@ class GoalPlanner:
             obs_radius, obs_downwash = radius, downwash
             self_mask = jnp.eye(pos.shape[0], dtype=bool)
         if mode == GoalMode.STATIC:
-            return desired_goal
+            return desired_goal, pos
         if mode == GoalMode.RIGHT_HAND:
-            return self._right_hand(pos, vel, desired_goal, seq)
+            return self._right_hand(pos, vel, desired_goal, seq), pos
         if mode == GoalMode.PRIOR_BASED:
             return self._prior_based(pos, vel, init_traj, desired_goal,
                                      seq, radius, downwash, obs_pos,
                                      obs_goal, obs_prev_traj, self_mask,
                                      obs_radius, obs_downwash)
         if mode == GoalMode.ORCA:
-            return self._orca_goal(pos, desired_goal, orca_vel)
+            return self._orca_goal(pos, desired_goal, orca_vel), pos
         raise NotImplementedError(mode)
 
     def _orca_goal(self, pos, desired_goal, orca_vel):
@@ -140,13 +146,15 @@ class GoalPlanner:
         # grid_based_planner.cpp:396-404)
         init_end = init_traj[:, -1, -1, :]                       # (N, 3)
         if self.grid_planner is not None:
-            los_goal = self.grid_planner.plan_goals(
+            los_goal, path_floor = self.grid_planner.plan_goals(
                 pos, init_end, desired_goal, radius, downwash,
                 obs_pos, obs_radius, obs_downwash, higher)
         else:
             # empty world: every path point has line of sight, so the
-            # LOS-free goal degenerates to the desired goal
+            # LOS-free goal degenerates to the desired goal (and there is
+            # no grid path to floor the rescue on)
             los_goal = desired_goal
+            path_floor = pos
         delta = los_goal - init_end
         dist = jnp.linalg.norm(delta, axis=-1, keepdims=True)
         clamped = jnp.where(dist > p.goal_radius,
@@ -156,7 +164,7 @@ class GoalPlanner:
         # simulator cycle (sim/simulator.py _update_rescue), which owns the
         # cross-cycle state it needs; it overrides this sub-goal when
         # active.
-        return jnp.where(too_close[:, None], away, clamped)
+        return jnp.where(too_close[:, None], away, clamped), path_floor
 
 
 def _normalize(v, eps=1e-12):

@@ -66,6 +66,15 @@ class SwarmState(NamedTuple):
     # the next cycle's slack-relaxed QP, then cleared (the reference
     # rebuilds the set per cycle from the prediction checks)
     slack_flags: jnp.ndarray = None   # (N,) bool
+    # grid-path escape point from the last goal-planning pass (N, 3):
+    # the rescue's first escape candidate (consecutive path cells are
+    # axis-adjacent free cells, so steering along them is always
+    # SFC-coverable where a LOS shortcut through a diagonal gap is not)
+    path_floor: jnp.ndarray = None
+    # per-agent best-ever distance to the desired goal (N,): the
+    # progress watermark for stall/rescue escalation; reset to +inf
+    # when the desired goal changes (patrol swap / goal update)
+    best_goal_dist: jnp.ndarray = None
 
 
 class CycleInfo(NamedTuple):
@@ -78,17 +87,33 @@ class CycleInfo(NamedTuple):
     knn_overflow: jnp.ndarray = None  # (N,) bool K-NN density audit
 
 
-def _update_stall_count(prev_count, prev_pos, pos, vel, desired_goal,
-                        seq, p):
+def _update_stall_count(prev_count, best_prev, prev_pos, pos, vel,
+                        desired_goal, seq, p):
     """Stall counter with progress hysteresis (shared by the single-chip
     and sharded cycles).  +1 while stalled; -1 (decay, not reset) while
-    moving without closing on the goal, so the rescue push's own motion
-    cannot cancel the escalation (a hard reset there creates a
-    stall/rescue limit cycle); reset to 0 only on real progress or
-    arrival.  Returns (count, progress)."""
+    moving without closing on the goal; reset to 0 only on cycle-over-
+    cycle progress or arrival.
+
+    TWO progress signals are returned:
+    * `progress` (plain, cycle-over-cycle): drives stall counting and
+      rescue release.  It must stay the permissive signal -- making it
+      stricter fires rescue pushes inside congested (empty-world)
+      crowds, where dragged agents ride their LSC boundaries at the f32
+      solver slop and the safety audit records ~0.993 ratios (observed
+      on the 60-agent empty corpus).
+    * `progress_best` (watermark: beating the best-ever goal distance
+      best_prev): drives ONLY the rescue phase ladder.  Plain progress
+      during a push-back recovery otherwise resets the ladder and locks
+      an approach/stall/push-back limit cycle (observed on
+      multi_square16 agent 13).  The caller resets best_prev to +inf
+      when the desired goal changes (patrol swap / goal update).
+
+    Returns (count, progress, progress_best, best)."""
     dist = jnp.linalg.norm(pos - desired_goal, axis=-1)
     prev_dist = jnp.linalg.norm(prev_pos - desired_goal, axis=-1)
     progress = (prev_dist - dist) > p.deadlock_progress_eps
+    progress_best = (best_prev - dist) > p.deadlock_progress_eps
+    best = jnp.minimum(best_prev, dist)
     stalled = ((jnp.linalg.norm(vel, axis=-1)
                 < p.deadlock_velocity_threshold) &
                (dist > p.goal_threshold) & (seq > 0))
@@ -96,11 +121,12 @@ def _update_stall_count(prev_count, prev_pos, pos, vel, desired_goal,
     count = jnp.where(reset, 0,
                       jnp.where(stalled, prev_count + 1,
                                 jnp.maximum(prev_count - 1, 0)))
-    return count, progress
+    return count, progress, progress_best, best
 
 
 def _update_rescue(state, pos, desired_goal, stall_count, progress, p,
-                   esdf=None, radius=None, world_min=None, world_max=None):
+                   esdf=None, radius=None, world_min=None, world_max=None,
+                   progress_best=None):
     """Latched deadlock-escape waypoints (extension beyond the reference,
     which leaves forest pocket deadlocks to chance -- README.md:75).
 
@@ -113,14 +139,20 @@ def _update_rescue(state, pos, desired_goal, stall_count, progress, p,
     re-engagement without intervening progress rotates the escalation
     phase, so no single blocked direction traps an agent.
 
-    Candidate directions per engagement: the goal direction rotated by
-    90/270/180 degrees about z, plus straight up (forest pockets usually
-    open upward).  With a static world (esdf), each candidate's straight
-    ray from the agent is validated against the ESDF and the first
-    admissible one starting from the escalation phase is taken -- a blind
-    rotation can latch a waypoint INSIDE a tree, which the agent chases
-    fruitlessly for `deadlock_seq_threshold` cycles per phase (observed
-    on multi_square16 + simple_forest).
+    Candidate directions per engagement: FIRST the grid-path escape
+    point from the last goal-planning pass (path_floor) -- a stall
+    usually means the LOS sub-goal points through a gap the axis-aligned
+    SFC expansion cannot cover (observed on multi_square16: agents park
+    against a 0.3 m-clearance diagonal gap for dozens of cycles), and
+    the grid path is by construction a cell-adjacent detour the corridor
+    CAN follow -- then the goal direction rotated by 90/270/180 degrees
+    about z, plus straight up (forest pockets usually open upward).
+    With a static world (esdf), each candidate's straight ray from the
+    agent is validated against the ESDF and the first admissible one
+    starting from the escalation phase is taken -- a blind rotation can
+    latch a waypoint INSIDE a tree, which the agent chases fruitlessly
+    for `deadlock_seq_threshold` cycles per phase (observed on
+    multi_square16 + simple_forest).
 
     A latched waypoint can still be unreachable (outside the agent's
     collapsed SFC), so an active rescue EXPIRES when the stall count
@@ -131,19 +163,38 @@ def _update_rescue(state, pos, desired_goal, stall_count, progress, p,
 
     Returns (rescue_goal, rescue_active, rescue_phase, stall_count).
     """
-    n_cand = 4
+    path_floor = state.path_floor
+    n_cand = 4 if path_floor is None else 5
     reached = (jnp.linalg.norm(pos - state.rescue_goal, axis=-1)
                < p.goal_threshold) & state.rescue_active
-    phase = jnp.where(progress, 0, state.rescue_phase)
+    # phase resets ONLY on WATERMARK progress (progress_best).  Plain
+    # progress or "reached the waypoint" is not success by itself: a
+    # valid-but-backward candidate always "succeeds" at being reached
+    # and earns ~10 cycles of plain progress on the way back, and
+    # resetting the ladder there locks an approach/retreat orbit in
+    # which the later candidates (e.g. straight up) are never tried
+    # (observed on multi_square16 agent 13).  A strategy that beats the
+    # best-ever goal distance resets to the path-floor rung, letting
+    # successful floor hops chain cell-by-cell through a gap.  Release
+    # (active) stays on plain progress -- the old, permissive signal --
+    # so rescue engagement dynamics in congested crowds are unchanged.
+    if progress_best is None:
+        progress_best = progress
+    phase = jnp.where(progress_best, 0, state.rescue_phase)
     active = state.rescue_active & ~progress & ~reached
 
     gdir = desired_goal - pos
     gnorm = jnp.linalg.norm(gdir, axis=-1, keepdims=True)
-    reach = jnp.minimum(gnorm, p.goal_radius)                 # (N, 1)
+    # excursion cap: a failed ladder rung costs a round trip at crawl
+    # speed, so waypoints at goal_radius (2 m) burn ~35 cycles each
+    # before the next candidate gets tried; 1 m is enough displacement
+    # to clear a pocket and halves the cost of a wrong guess
+    reach = jnp.minimum(gnorm, jnp.asarray(1.0, pos.dtype))   # (N, 1)
 
     over = stall_count > p.deadlock_seq_threshold
     expire = active & over
     active = active & ~expire
+    phase_start = phase % n_cand          # 0-based first candidate to try
     # Never engage NEAR the goal: the receding-horizon final approach is
     # an exponential tail whose velocity sits below the stall threshold
     # for most of the last ~0.5 m (the terminal-weight/jerk balance; the
@@ -155,10 +206,9 @@ def _update_rescue(state, pos, desired_goal, stall_count, progress, p,
     far = gnorm[..., 0] > 0.5 * p.goal_radius
     engage = over & ~active & far
     stall_count = jnp.where(engage, 0, stall_count)
-    phase_new = jnp.where(engage, phase % n_cand + 1, phase)  # 1..n_cand
 
     dirs = []
-    for k in range(1, n_cand):                                # rotations
+    for k in range(1, 4):                                     # rotations
         theta = jnp.asarray((jnp.pi / 2.0) * k, pos.dtype)
         c, s = jnp.cos(theta), jnp.sin(theta)
         rot = jnp.stack([c * gdir[..., 0] + s * gdir[..., 1],
@@ -168,7 +218,14 @@ def _update_rescue(state, pos, desired_goal, stall_count, progress, p,
             jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12))
     up = jnp.zeros_like(pos).at[..., 2].set(1.0)
     dirs.append(up)
-    cands = jnp.stack([pos + d * reach for d in dirs], axis=-2)  # (N,C,3)
+    cands = jnp.stack([pos + d * reach for d in dirs], axis=-2)  # (N,4,3)
+    floor_ok = None
+    if path_floor is not None:
+        # grid-path escape first: only a real detour counts (the floored
+        # path degenerates to the agent's own cell at/near the goal)
+        cands = jnp.concatenate([path_floor[..., None, :], cands],
+                                axis=-2)                      # (N, 5, 3)
+        floor_ok = jnp.linalg.norm(path_floor - pos, axis=-1) > 0.3
     if world_min is not None:
         r_c = radius[..., None, None]
         cands = jnp.clip(cands, world_min + r_c, world_max - r_c)
@@ -184,21 +241,31 @@ def _update_rescue(state, pos, desired_goal, stall_count, progress, p,
             (cands - pos[..., None, :])[..., None, :] * \
             t[None, None, :, None]                         # (N, C, S, 3)
         min_clear = jnp.min(esdf.at_points(ray), axis=-1)  # (N, C)
+        own_clear = esdf.at_points(pos)[..., None]         # (N, 1), = t=0
         thr = jnp.minimum(radius[..., None] + 0.5 * p.world_resolution,
-                          min_clear[..., :1] - 1e-3)
+                          own_clear - 1e-3)
         valid = min_clear > thr
     else:
         valid = jnp.ones(cands.shape[:-1], bool)
+    if floor_ok is not None:
+        valid = valid.at[..., 0].set(valid[..., 0] & floor_ok)
 
     # first valid candidate at-or-after the escalation phase (cyclic);
-    # fall back to the phase's raw candidate when none validates
-    idx0 = (phase_new - 1)[..., None]                       # (N, 1)
+    # fall back to the phase's raw candidate when none validates.  The
+    # recorded phase is the index of the candidate ACTUALLY latched
+    # (+1, 1-based), not the tentative start -- otherwise an invalid
+    # skipped candidate (e.g. a degenerate path_floor) makes two phases
+    # resolve to the same physical waypoint and the escalation wastes a
+    # full expiry period re-trying it.
+    idx0 = phase_start[..., None]                           # (N, 1)
     order = (jnp.arange(n_cand)[None, :] - idx0) % n_cand
     score = jnp.where(valid, order, n_cand + order)
     pick = jnp.argmin(score, axis=-1)                       # (N,)
     waypoint = jnp.take_along_axis(
         cands, pick[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
     rescue_goal = jnp.where(engage[..., None], waypoint, state.rescue_goal)
+    phase_new = jnp.where(engage, (pick + 1).astype(phase.dtype),
+                          phase)                            # 1..n_cand
     return rescue_goal, active | engage, phase_new, stall_count
 
 
@@ -349,6 +416,8 @@ class SyncSimulator:
             rescue_active=jnp.zeros((N,), bool),
             rescue_phase=jnp.zeros((N,), jnp.int32),
             slack_flags=jnp.zeros((N,), bool),
+            path_floor=self.start,
+            best_goal_dist=jnp.full((N,), np.inf, dt),
         )
 
     # ------------------------------------------------------------------
@@ -473,8 +542,9 @@ class SyncSimulator:
                    self_slack=None):
         """Plan one block of agents (L, ...) against the global obstacle
         view (N_total, ...).  Returns (QPResult, current_goal, sfc,
-        knn_overflow) -- the last is the per-agent density-overflow audit
-        of the K-NN pruning, or None when pruning is off.
+        knn_overflow, path_floor) -- knn_overflow is the per-agent
+        density-overflow audit of the K-NN pruning (None when pruning is
+        off); path_floor the grid-path rescue candidate (see SwarmState).
 
         obs_*_global override the default all-agent attribute arrays when
         the obstacle view is not the identity-ordered full swarm (e.g.
@@ -490,7 +560,7 @@ class SyncSimulator:
         obs_maxacc_all = (self.max_acc[:, 0] if obs_maxacc_global is None
                           else obs_maxacc_global)
 
-        current_goal = self.goal_planner.plan(
+        current_goal, path_floor = self.goal_planner.plan(
             pos=pos, vel=vel, init_traj=init, desired_goal=desired_goal,
             seq=seq, radius=radius, downwash=downwash,
             obs_pos=obs_pos_global, obs_goal=obs_goal_global,
@@ -681,7 +751,7 @@ class SyncSimulator:
             planes=planes, world_min=self.world_min,
             world_max=self.world_max, y_warm=y_warm, slack=slack_spec,
             dtype=self.dtype)
-        return res, current_goal, sfc, knn_overflow
+        return res, current_goal, sfc, knn_overflow, path_floor
 
     def _patrol_swap(self, state: SwarmState, pos):
         """PATROL: swap start and desired goal when an agent reaches its
@@ -712,22 +782,23 @@ class SyncSimulator:
         start, desired_goal = self._patrol_swap(state, pos)
 
         # stall bookkeeping for deadlock rescue (deadlock_start_seq
-        # analog, traj_planner.cpp:396-409).  Hysteresis: the count
-        # resets only on real progress toward the desired goal -- a
-        # velocity blip from the rescue push itself must not cancel the
-        # escalation, or a blocked agent enters a stall/rescue limit
-        # cycle and never escapes (rescue moves it, count resets, rescue
-        # drops, it re-stalls in the same trap).
-        stall_count, progress = _update_stall_count(
-            state.stall_count, state.pos, pos, vel, desired_goal,
-            state.seq, p)
+        # analog, traj_planner.cpp:396-409).  Watermark hysteresis: the
+        # count resets only on beating the agent's best-ever goal
+        # distance -- a velocity blip or a push-back recovery must not
+        # cancel the escalation (see _update_stall_count).
+        goal_changed = jnp.any(desired_goal != state.desired_goal, axis=-1)
+        best_prev = jnp.where(goal_changed, jnp.inf, state.best_goal_dist)
+        stall_count, progress, progress_best, best_goal_dist = \
+            _update_stall_count(state.stall_count, best_prev, state.pos,
+                                pos, vel, desired_goal, state.seq, p)
         if p.deadlock_rescue:
             rescue_goal, rescue_active, rescue_phase, stall_count = \
                 _update_rescue(state, pos, desired_goal, stall_count,
                                progress, p, esdf=self.esdf,
                                radius=self.radius,
                                world_min=self.world_min,
-                               world_max=self.world_max)
+                               world_max=self.world_max,
+                               progress_best=progress_best)
         else:
             rescue_goal, rescue_active, rescue_phase = _no_rescue(state)
 
@@ -761,7 +832,7 @@ class SyncSimulator:
             obs_slack_global = state.slack_flags
         sfc_seed = jnp.where(sfc_initialize[:, None], pos,
                              state.traj[:, -1, -1, :])
-        res, current_goal, sfc, knn_overflow = self.plan_block(
+        res, current_goal, sfc, knn_overflow, path_floor = self.plan_block(
             pos, vel, acc, init, state.seq,
             pred_global=prediction, obs_pos_global=pos,
             obs_goal_global=desired_goal,
@@ -823,6 +894,8 @@ class SyncSimulator:
             rescue_phase=rescue_phase,
             slack_flags=(jnp.zeros_like(state.slack_flags)
                          if state.slack_flags is not None else None),
+            path_floor=path_floor,
+            best_goal_dist=best_goal_dist,
         )
         info = CycleInfo(safety_step_min=safety_step, qp_cost=res.cost,
                          primal_res=res.primal_res,
@@ -842,13 +915,13 @@ class SyncSimulator:
         p = self.param
         if p.goal_mode == GoalMode.ORCA:
             orca_v = self.orca_velocities(pos, vel, state.current_goal)
-            current_goal = self.goal_planner.plan(
+            current_goal, path_floor = self.goal_planner.plan(
                 pos=pos, vel=vel, init_traj=state.traj,
                 desired_goal=desired_goal, seq=state.seq,
                 radius=self.radius, downwash=self.downwash,
                 orca_vel=orca_v)
         else:
-            current_goal = self.goal_planner.plan(
+            current_goal, path_floor = self.goal_planner.plan(
                 pos=pos, vel=vel, init_traj=state.traj,
                 desired_goal=desired_goal, seq=state.seq,
                 radius=self.radius, downwash=self.downwash,
@@ -878,7 +951,9 @@ class SyncSimulator:
             rescue_goal=state.rescue_goal,
             rescue_active=state.rescue_active,
             rescue_phase=state.rescue_phase,
-            slack_flags=state.slack_flags)
+            slack_flags=state.slack_flags,
+            path_floor=path_floor,
+            best_goal_dist=state.best_goal_dist)
         info = CycleInfo(safety_step_min=safety_step, qp_cost=zeros,
                          primal_res=zeros)
         return new_state, info

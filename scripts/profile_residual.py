@@ -77,7 +77,7 @@ def main():
 
     # --- priority goal planning ---
     def goal_body(pos):
-        g = sim.goal_planner.plan(
+        g, _floor = sim.goal_planner.plan(
             pos=pos, vel=state.vel, init_traj=traj0,
             desired_goal=state.desired_goal, seq=state.seq,
             radius=sim.radius, downwash=sim.downwash, prev_traj=traj0)

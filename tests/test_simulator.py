@@ -76,33 +76,46 @@ def test_first_cycle_feasible():
 
 
 def test_stall_count_hysteresis():
-    """Progress-based stall bookkeeping: +1 stalled, -1 moving without
-    progress (the rescue's own push must not cancel escalation), reset
-    only on real progress toward the goal."""
+    """Stall bookkeeping: +1 stalled, -1 moving without closing on the
+    goal, reset on plain cycle-over-cycle progress; the separate
+    watermark signal (progress_best) fires only on beating the
+    best-ever goal distance (coming BACK from a rescue push-back is
+    plain progress but NOT watermark progress)."""
     from lsc_planner_tpu.sim.simulator import _update_stall_count
     p = Param()
     goal = jnp.asarray([[10.0, 0.0, 1.0]])
     seq = jnp.asarray(5)
     pos0 = jnp.asarray([[0.0, 0.0, 1.0]])
+    best0 = jnp.asarray([10.0])             # watermark = dist(pos0, goal)
     v_still = jnp.zeros((1, 3))
     v_move = jnp.asarray([[0.0, 1.0, 0.0]])
 
     c = jnp.asarray([7], jnp.int32)
-    # stalled in place -> +1, no progress
-    c1, pr1 = _update_stall_count(c, pos0, pos0, v_still, goal, seq, p)
-    assert int(c1[0]) == 8 and not bool(pr1[0])
-    # moving sideways (no progress toward goal) -> decay, not reset
+    # stalled in place -> +1, no progress, watermark unchanged
+    c1, pr1, pb1, b1 = _update_stall_count(c, best0, pos0, pos0, v_still,
+                                           goal, seq, p)
+    assert int(c1[0]) == 8 and not bool(pr1[0]) and float(b1[0]) == 10.0
+    # moving sideways (no gain) -> decay, not reset
     pos_side = jnp.asarray([[0.0, 0.5, 1.0]])
-    c2, pr2 = _update_stall_count(c1, pos0, pos_side, v_move, goal, seq, p)
+    c2, pr2, pb2, b2 = _update_stall_count(c1, b1, pos0, pos_side, v_move,
+                                           goal, seq, p)
     assert int(c2[0]) == 7 and not bool(pr2[0])
-    # real progress -> hard reset
+    # real progress -> hard reset, watermark drops, both signals fire
     pos_fwd = jnp.asarray([[0.5, 0.0, 1.0]])
-    c3, pr3 = _update_stall_count(c2, pos0, pos_fwd, v_move, goal, seq, p)
-    assert int(c3[0]) == 0 and bool(pr3[0])
+    c3, pr3, pb3, b3 = _update_stall_count(c2, b2, pos_side, pos_fwd,
+                                           v_move, goal, seq, p)
+    assert int(c3[0]) == 0 and bool(pr3[0]) and bool(pb3[0])
+    assert float(b3[0]) == 9.5
+    # push-back recovery: thrown back 1.5 m, then closing again is
+    # PLAIN progress (stall resets) but NOT watermark progress
+    pos_back = jnp.asarray([[-1.0, 0.0, 1.0]])
+    c4, pr4, pb4, b4 = _update_stall_count(c3, b3, pos_back, pos_fwd,
+                                           v_move, goal, seq, p)
+    assert bool(pr4[0]) and not bool(pb4[0]) and int(c4[0]) == 0
     # decay floors at zero
-    c4, _ = _update_stall_count(jnp.asarray([0], jnp.int32), pos0,
-                                pos_side, v_move, goal, seq, p)
-    assert int(c4[0]) == 0
+    c5, _, _, _ = _update_stall_count(jnp.asarray([0], jnp.int32), b3,
+                                      pos0, pos_side, v_move, goal, seq, p)
+    assert int(c5[0]) == 0
 
 
 def test_rescue_waypoint_latch():
@@ -121,7 +134,11 @@ def test_rescue_waypoint_latch():
 
     g1, a1, ph1, c1 = _update_rescue(st, pos, goal, stall, no_prog, p)
     assert bool(a1[0]) and not bool(a1[1])
-    assert int(ph1[0]) == 1
+    # phase records the candidate ACTUALLY latched (1-based): the
+    # path_floor candidate (index 0) is degenerate here (initial state
+    # floors it at pos), so the first engagement latches the 90-degree
+    # rotation at index 1 -> phase 2
+    assert int(ph1[0]) == 2
     # engagement resets the stall count (starts the expiry clock)
     assert int(c1[0]) == 0
     # 90-degree rotation: waypoint perpendicular to the goal direction
@@ -142,15 +159,16 @@ def test_rescue_waypoint_latch():
                                    jnp.zeros(2, jnp.int32), prog, p)
     assert not bool(a3[0]) and int(ph3[0]) == 0
 
-    # re-engagement without progress escalates to phase 2 (180 degrees)
-    st4 = st._replace(rescue_phase=ph1)     # inactive, phase 1 remembered
-    _, a4, ph4, _ = _update_rescue(st4, pos, goal, stall, no_prog, p)
-    assert bool(a4[0]) and int(ph4[0]) == 2
+    # re-engagement without progress escalates past the failed candidate
+    st4 = st._replace(rescue_phase=ph1)     # inactive, phase 2 remembered
+    g4, a4, ph4, _ = _update_rescue(st4, pos, goal, stall, no_prog, p)
+    assert bool(a4[0]) and int(ph4[0]) == 3
+    assert np.linalg.norm(np.asarray(g4[0] - g1[0])) > 1e-6
 
     # an unreachable waypoint EXPIRES: still active + stall re-crosses the
     # threshold -> abandon it, rotate the phase, re-latch a new waypoint
     g5, a5, ph5, c5 = _update_rescue(st2, pos, goal, stall, no_prog, p)
-    assert bool(a5[0]) and int(ph5[0]) == 2 and int(c5[0]) == 0
+    assert bool(a5[0]) and int(ph5[0]) == 3 and int(c5[0]) == 0
     assert np.linalg.norm(np.asarray(g5[0] - g1[0])) > 1e-6
 
 
