@@ -214,6 +214,15 @@ class Param:
     # 64-agent instance) for two extra triangular substitutions per
     # iteration -- no extra factorization.
     qp_correctors: int = 1
+    # Feasibility-preserving LSC guard band (metres).  A capped f32 IPM
+    # leaves mm-scale primal error; at congested steady state corpus
+    # safety ratios then sit one ulp either side of 1.0 (observed:
+    # 0.9929-1.0000 on the dense empty/forest sets).  Each LSC margin is
+    # inflated by min(guard, s0/2) where s0 is the row's slack at the
+    # initial trajectory, which provably preserves the LSC feasibility
+    # lemma (see planner/constraints.lsc_planes).  The reference needs
+    # no guard: CPLEX solves in f64 to ~1e-9 (traj_optimizer.cpp:31-154).
+    lsc_guard_margin: float = 0.004
     # Fused single-launch Pallas IPM dispatch: "auto" (TPU/f32),
     # "off" (always the XLA factored-row path; diagnostic A/B switch).
     qp_fused_mode: str = "auto"

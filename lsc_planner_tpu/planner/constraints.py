@@ -30,7 +30,8 @@ def pair_downwash(agent_radius, agent_downwash, obs_radius, obs_downwash,
 
 def lsc_planes(init_traj, obs_pred, agent_radius, agent_downwash,
                obs_radius, obs_downwash, obs_is_agent, obs_mask,
-               slack_flags=None, obs_pred_sizes=None) -> PlaneConstraints:
+               slack_flags=None, obs_pred_sizes=None,
+               guard_margin: float = 0.0) -> PlaneConstraints:
     """Linear Safe Corridor planes for all (agent, obstacle, segment).
 
     init_traj: (N, M, n+1, 3)   agent initial trajectories
@@ -38,10 +39,22 @@ def lsc_planes(init_traj, obs_pred, agent_radius, agent_downwash,
     agent_radius/downwash: (N,);  obs_radius/downwash: (N, O)
     obs_is_agent, obs_mask: (N, O) bool;  slack_flags: (N, O) bool or None
     obs_pred_sizes: (N, O, M, n+1) inflated radii (used for slack rows)
+    guard_margin: feasibility-preserving f32 guard band (metres); see below
 
     Implements generateLSC (traj_planner.cpp:1310-1407): downwash coordinate
     transform, hull closest-point normal between relative control points,
     margin d_i = 0.5 (r_i + r_j + rel_i . n), z-untransform of the normal.
+
+    The guard band (no reference equivalent -- CPLEX solves the QP in f64
+    to ~1e-9 feasibility and needs none): a capped f32 interior-point solve
+    can leave mm-scale primal error, which at congested steady state shows
+    up as safety ratios one ulp either side of 1.0.  Each row's margin is
+    inflated by ``min(guard_margin, s0/2)`` where ``s0 = (rel_i.n - r)/2``
+    is that row's slack at the initial trajectory.  The clamp keeps the
+    shifted-previous-solution feasibility lemma intact exactly (remaining
+    slack >= s0/2 >= 0), so the guard can never make the QP infeasible; it
+    only pushes the congestion equilibrium separation from "touching" to
+    ~2*guard_margin of clearance.
     """
     N, O, M = obs_pred.shape[:3]
     n1 = obs_pred.shape[3]
@@ -57,8 +70,12 @@ def lsc_planes(init_traj, obs_pred, agent_radius, agent_downwash,
     normal_t, dist = hull_ops.hull_normal(rel)             # (N, O, M, 3)
 
     collision_dist = agent_radius[:, None] + obs_radius    # (N, O)
-    d = 0.5 * (collision_dist[..., None, None] +
-               jnp.einsum("nomid,nomd->nomi", rel, normal_t))
+    e = jnp.einsum("nomid,nomd->nomi", rel, normal_t)      # rel_i . n_t
+    d = 0.5 * (collision_dist[..., None, None] + e)
+
+    if guard_margin > 0.0:
+        s0 = 0.5 * (e - collision_dist[..., None, None])   # init-traj slack
+        d = d + jnp.clip(0.5 * s0, 0.0, guard_margin)
 
     if slack_flags is not None and obs_pred_sizes is not None:
         # disturbance path (traj_planner.cpp:1395-1400): reciprocal-RSFC

@@ -708,7 +708,8 @@ class SyncSimulator:
                                      obs_radius, obs_downwash,
                                      obs_is_agent, obs_mask,
                                      slack_flags=slack_flags,
-                                     obs_pred_sizes=sizes)
+                                     obs_pred_sizes=sizes,
+                                     guard_margin=p.lsc_guard_margin)
         elif p.planner_mode == PlannerMode.BVC:
             planes = cons.bvc_planes(init, obs_pred, radius, downwash,
                                      obs_radius, obs_downwash,
@@ -1046,14 +1047,16 @@ class SyncSimulator:
                 return cons.lsc_planes(
                     init, prediction[nbr], self.radius, self.downwash,
                     self.radius[nbr], self.downwash[nbr],
-                    jnp.ones((N, K), bool), jnp.ones((N, K), bool))
+                    jnp.ones((N, K), bool), jnp.ones((N, K), bool),
+                    guard_margin=p.lsc_guard_margin)
             obs_pred = jnp.broadcast_to(prediction[None],
                                         (N, N, self.M, self.n + 1, 3))
             return cons.lsc_planes(
                 init, obs_pred, self.radius, self.downwash,
                 jnp.broadcast_to(self.radius[None], (N, N)),
                 jnp.broadcast_to(self.downwash[None], (N, N)),
-                jnp.ones((N, N), bool), ~jnp.eye(N, dtype=bool))
+                jnp.ones((N, N), bool), ~jnp.eye(N, dtype=bool),
+                guard_margin=p.lsc_guard_margin)
         stage_lsc = jax.jit(lsc_stage)
 
         times = {}
@@ -1123,7 +1126,8 @@ class SyncSimulator:
             init, obs_pred, self.radius, self.downwash,
             jnp.broadcast_to(self.radius[None], (N, N)),
             jnp.broadcast_to(self.downwash[None], (N, N)),
-            jnp.ones((N, N), bool), ~jnp.eye(N, dtype=bool))
+            jnp.ones((N, N), bool), ~jnp.eye(N, dtype=bool),
+            guard_margin=p.lsc_guard_margin)
         # margins of the OUTPUT trajectory against every plane row
         lhs = jnp.einsum("ncmd,nmid->ncmi", planes.normal, state.traj)
         viol = jnp.where(planes.mask[..., None],

@@ -53,9 +53,16 @@ def mission_list(scenario):
                                   recursive=True)):
             out.append(("office", f, f"{REF}/world/office.bt"))
     if scenario in ("named", "all"):
+        # every shipped named mission except multi_empty.json (an
+        # agent-less template the reference fills from multisim/qn,
+        # mission.cpp:321-335 -- not a benchmark scenario)
         named = [("multi_circle20.json", None),
                  ("multi_simple3.json", None),
                  ("multi_simple4.json", None),
+                 ("multi_square8.json", None),
+                 ("multi_exp_circle16.json", None),
+                 ("multi_exp_initial16.json", None),
+                 ("multi_exp_maze10.json", None),
                  ("multi_square16.json", f"{REF}/world/simple_forest.bt")]
         for m, w in named:
             out.append(("named", f"{REF}/missions/{m}", w))
