@@ -154,13 +154,21 @@ def rsfc_planes(init_traj, obs_pred, obs_pred_sizes, agent_radius,
     return PlaneConstraints(normal=normal, rhs=rhs, mask=mask)
 
 
-def sfc_planes(boxes, active) -> PlaneConstraints:
+def sfc_planes(boxes, active, init_traj=None,
+               guard_margin: float = 0.0) -> PlaneConstraints:
     """Safe Flight Corridor box faces as planes.
 
     boxes: (N, M, 6) as [min_xyz, max_xyz]; active: (N,) or scalar bool.
     Each segment box contributes 2*dim rows (Box::convertToLSCs,
     collision_constraints.cpp:37-59): +e_k with rhs box_min_k, -e_k with
     rhs -box_max_k, obs point at origin.
+
+    guard_margin (with init_traj (N, M, n+1, 3)): the same
+    feasibility-preserving f32 guard band as lsc_planes -- each face is
+    pulled in by min(guard, s0/2), s0 = that control point's slack at
+    the initial trajectory, so mm-scale QP error can no longer leave an
+    agent outside its corridor (inside the static-obstacle margin, where
+    the SFC seed would freeze; see world/corridor.escape_seeds).
     """
     N, M = boxes.shape[:2]
     dtype = boxes.dtype
@@ -171,13 +179,17 @@ def sfc_planes(boxes, active) -> PlaneConstraints:
     rhs_max = -boxes[..., 3:]
     rhs = jnp.concatenate([rhs_min, rhs_max], axis=-1)    # (N, M, 6)
     rhs = jnp.transpose(rhs, (0, 2, 1))                   # (N, 6, M)
-    n1 = 1
     rhs = rhs[..., None]                                  # per ctrl point
+    if guard_margin > 0.0 and init_traj is not None:
+        lhs0 = jnp.einsum("kd,nmid->nkmi", normals, init_traj)
+        s0 = lhs0 - rhs                                   # (N, 6, M, n+1)
+        rhs = rhs + jnp.clip(0.5 * s0, 0.0, guard_margin)
+    n1 = rhs.shape[-1]
     active = jnp.broadcast_to(jnp.asarray(active), (N,))
     mask = jnp.broadcast_to(active[:, None, None], (N, 6, M))
     return PlaneConstraints(
         normal=normal,
-        rhs=jnp.broadcast_to(rhs, (N, 6, M, 1)),
+        rhs=jnp.broadcast_to(rhs, (N, 6, M, n1)),
         mask=mask)
 
 

@@ -737,7 +737,8 @@ class SyncSimulator:
             from ..world.corridor import update_sfc
             sfc, _ = update_sfc(sfc_prev, sfc_seed, current_goal,
                                 self.corridor, sfc_initialize)
-            sfc_pl = cons.sfc_planes(sfc, active=True)
+            sfc_pl = cons.sfc_planes(sfc, active=True, init_traj=init,
+                                     guard_margin=p.lsc_guard_margin)
             planes = cons.concat_planes(planes, sfc_pl, n_ctrl=n + 1)
         else:
             planes = cons.concat_planes(planes, n_ctrl=n + 1)

@@ -164,6 +164,35 @@ class CorridorBuilder:
         return jax.vmap(self.expand_box)(points, goals)
 
 
+def escape_seeds(builder: CorridorBuilder, pts):
+    """Relocate seed points trapped inside the static-obstacle margin.
+
+    A capped f32 QP can leave an agent a few mm inside the wall margin
+    (esdf(p) < agent_radius); its seed box is then obstructed every
+    cycle, the SFC window freezes, and the agent parks forever (observed
+    on office/20agents_2: one agent pinned at esdf 0.141 < r 0.15).  The
+    reference simply throws there (expandBoxFromPoint,
+    corridor_constructor.hpp:35-38) and aborts the run -- CPLEX's f64
+    solves never create the state.  Here the seed is nudged out of the
+    margin along the ESDF gradient; downstream, update_sfc re-covers the
+    held endpoint so the QP stays feasible and the agent slides back out.
+
+    Returns (escaped_pts (N, 3), trapped (N,) bool).
+    """
+    esdf = builder.esdf
+    res = esdf.resolution
+    d0 = esdf.at_points(pts)
+    need = (builder.agent_radius + 0.5 * res) - d0
+    eye = jnp.eye(3, dtype=pts.dtype) * res
+    grad = jnp.stack(
+        [esdf.at_points(pts + eye[k]) - esdf.at_points(pts - eye[k])
+         for k in range(3)], axis=-1) / (2.0 * res)
+    nrm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
+    dirn = grad / jnp.maximum(nrm, 1e-6)
+    trapped = need > 0
+    return pts + dirn * jnp.maximum(need, 0.0)[:, None], trapped
+
+
 def update_sfc(sfc_boxes, seed_points, goals, builder: CorridorBuilder,
                initialize):
     """generateFeasibleSFC (traj_planner.cpp:1451-1491), batched.
@@ -174,7 +203,15 @@ def update_sfc(sfc_boxes, seed_points, goals, builder: CorridorBuilder,
     last-segment box; on initialize, fill all segments with the fresh box.
     """
     N, M = sfc_boxes.shape[:2]
-    bmin, bmax, ok = builder.expand_boxes(seed_points, goals)
+    seeds, trapped = escape_seeds(builder, seed_points)
+    bmin, bmax, ok = builder.expand_boxes(seeds, goals)
+    # a trapped agent's escaped box need not contain the held endpoint;
+    # extend it by the (mm-scale) sliver back to where the agent already
+    # is, so the hold trajectory stays feasible and recovery can start
+    bmin = jnp.where(trapped[:, None],
+                     jnp.minimum(bmin, seed_points), bmin)
+    bmax = jnp.where(trapped[:, None],
+                     jnp.maximum(bmax, seed_points), bmax)
     new_box = jnp.concatenate([bmin, bmax], axis=-1)          # (N, 6)
     shifted = jnp.concatenate([sfc_boxes[:, 1:], new_box[:, None]], axis=1)
     filled = jnp.broadcast_to(new_box[:, None], (N, M, 6))
