@@ -177,6 +177,12 @@ def main():
         raise SystemExit(0)
 
     signal.signal(signal.SIGTERM, on_term)
+    # Audit-trustworthiness gate (round-4 regression): prove on the REAL
+    # backend that positions_at is exact f32 at large coordinates before
+    # any min_safety below is believed.  Raises (bench fails loudly)
+    # rather than silently reporting phantom safety numbers.
+    from lsc_planner_tpu.sim import audit as _audit
+    results["audit_precision_err_m"] = _audit.precision_self_check()
     # Per-scenario solver caps: the framework default (40 + early exit
     # + 1 Gondzio corrector) is what the corpus validates end-to-end;
     # the benched circle exchanges are AUDIT-VALIDATED safe at cap 14

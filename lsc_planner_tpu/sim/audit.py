@@ -46,10 +46,19 @@ def _sample_weight_matrix(ts, dt, M, n) -> np.ndarray:
 
 
 def positions_at(trajs, ts, dt):
-    """Sample positions of all agents at times ts: (T, N, 3)."""
+    """Sample positions of all agents at times ts: (T, N, 3).
+
+    precision=HIGHEST is load-bearing: TPU default matmul precision routes
+    f32 einsum operands through bf16, which at |x| ~ 148 m quantizes sampled
+    positions to ~0.5 m and collapses nearby agents onto identical points --
+    the audit then reports phantom collisions (min ratio 0.0) on perfectly
+    safe trajectories.  The audit is the de-facto integration test
+    (multi_sync_simulator.cpp:446-503); it must be exact in f32.
+    """
     M, n1 = trajs.shape[-3], trajs.shape[-2]
     W = jnp.asarray(_sample_weight_matrix(ts, dt, M, n1 - 1), trajs.dtype)
-    return jnp.einsum("tmi,nmid->tnd", W, trajs)
+    return jnp.einsum("tmi,nmid->tnd", W, trajs,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def pairwise_safety_ratio(pos, radius, downwash):
@@ -129,6 +138,45 @@ def continuous_safety_ratio(trajs, radius, downwash):
     ratio = dist / r_sum[..., None]                # (N, N, M)
     eye = jnp.eye(N, dtype=bool)[..., None]
     return jnp.min(jnp.where(eye, jnp.inf, ratio))
+
+
+def precision_self_check(coord: float = 148.0, sep: float = 0.43,
+                         tol: float = 1e-3) -> float:
+    """Assert the device audit is exact-f32 on the CURRENT default backend.
+
+    Round-4 regression: on TPU, the audit einsum at default matmul
+    precision rounded f32 positions through bf16 (~0.5 m quantum at
+    |x| ~ 148 m), collapsing agents 0.43 m apart onto identical sampled
+    points and reporting phantom min_safety = 0.0 on provably safe
+    trajectories (true f64 safety 1.197).  The pytest suite is CPU-pinned
+    and cannot see this, so the bench calls this once per run on the real
+    backend.
+
+    Builds a two-agent constant-position trajectory pair at +/-(coord)
+    with separation ``sep`` along x, samples it through positions_at, and
+    compares with the f64 numpy recompute.  Returns the max abs error;
+    raises AssertionError above ``tol``.
+    """
+    M, n1, dt = 5, 6, 0.2
+    base = np.zeros((2, M, n1, 3), np.float64)
+    base[0, ..., 0] = coord
+    base[1, ..., 0] = coord + sep
+    base[:, ..., 1] = -coord
+    base[:, ..., 2] = 1.5
+    # mild curvature so the einsum actually mixes control points
+    ramp = np.linspace(0.0, 0.1, M * n1).reshape(M, n1)
+    base[..., 0] += ramp
+    ts = _sample_times(0.05, 0.2, inclusive=False)
+    dev = np.asarray(positions_at(jnp.asarray(base, jnp.float32), ts, dt))
+    W = _sample_weight_matrix(ts, dt, M, n1 - 1)
+    ref = np.einsum("tmi,nmid->tnd", W, base)
+    err = float(np.abs(dev - ref).max())
+    if not err < tol:
+        raise AssertionError(
+            f"audit sampling error {err:.4f} m > {tol} on backend "
+            f"{jax.default_backend()}: positions_at is not exact f32 "
+            "(bf16 matmul leak); min_safety values are untrustworthy")
+    return err
 
 
 def step_distance(trajs, dt, record_time_step, time_step):

@@ -85,6 +85,9 @@ class CycleInfo(NamedTuple):
     warm_row: jnp.ndarray = None   # (N,) argmax row index of the above
     qp_failed: jnp.ndarray = None  # (N,) bool QPFAILED report
     knn_overflow: jnp.ndarray = None  # (N,) bool K-NN density audit
+    qp_iters: jnp.ndarray = None   # IPM iterations consumed (per lane
+                                   # tile on the fused path, scalar on
+                                   # XLA): exit-fired observability
 
 
 def _update_stall_count(prev_count, best_prev, prev_pos, pos, vel,
@@ -907,7 +910,8 @@ class SyncSimulator:
                                    else jnp.zeros_like(res.cost,
                                                        dtype=jnp.int32)),
                          qp_failed=qp_failed,
-                         knn_overflow=knn_overflow)
+                         knn_overflow=knn_overflow,
+                         qp_iters=res.iters)
         return new_state, info
 
     def _cycle_orca(self, state: SwarmState, pos, vel, acc, start,
@@ -1130,7 +1134,8 @@ class SyncSimulator:
             jnp.ones((N, N), bool), ~jnp.eye(N, dtype=bool),
             guard_margin=p.lsc_guard_margin)
         # margins of the OUTPUT trajectory against every plane row
-        lhs = jnp.einsum("ncmd,nmid->ncmi", planes.normal, state.traj)
+        lhs = jnp.einsum("ncmd,nmid->ncmi", planes.normal, state.traj,
+                         precision=jax.lax.Precision.HIGHEST)
         viol = jnp.where(planes.mask[..., None],
                          planes.rhs - lhs, -jnp.inf)     # (N, C, M, n+1)
         v = np.asarray(viol)
