@@ -24,6 +24,7 @@ Reference analog: TrajOptimizer::solve / CPLEX dual simplex
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -31,6 +32,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# LSC_IPM_DEBUG=1: per-iteration exit-signal trace (interpret mode only
+# -- the TPU backend does not support debug callbacks)
+_IPM_DEBUG = bool(os.environ.get("LSC_IPM_DEBUG"))
 
 
 def _rowmin(x):
@@ -62,11 +67,21 @@ def _chol_into(l_ref, H, n):
     """Lower Cholesky of H (n, n, B): columns written into the VMEM
     scratch l_ref (building L as a value via per-step jnp.where costs a
     full (n, n, B) pass per column -- as much as the Schur updates
-    themselves)."""
+    themselves).
+
+    Modified-Cholesky pivot floor: the input is Jacobi-scaled to a unit
+    diagonal, so exact pivots live in (0, 1]; f32 rounding near the
+    interior-point endgame (mu < 1e-4 with tolerances disabled) can push
+    a trailing pivot non-positive, and a bare rsqrt then NaNs the whole
+    lane -- which the iteration's NaN guard converts into a PERMANENT
+    freeze at whatever iterate the lane had.  Flooring the pivot at 1e-6
+    (a +1e-6 diagonal perturbation at that elimination step, far below
+    solution accuracy) keeps the factor finite so a knife-edge iteration
+    degrades into a slightly-damped step instead of a dead lane."""
     ri = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     A = H
     for k in range(n):
-        dk = A[k, k][None, :]
+        dk = jnp.maximum(A[k, k][None, :], 1e-6)
         inv = jax.lax.rsqrt(dk)
         col = A[:, k, :] * inv
         col = jnp.where(ri >= k, col, 0.0)
@@ -91,9 +106,17 @@ def _solve_lanes(l_ref, rhs, n):
 
 
 def _mm(a, b):
-    """2-D (r, k) @ (k, B) -> (r, B), exact f32."""
+    """2-D (r, k) @ (k, B) -> (r, B), exact f32.
+
+    precision=HIGHEST is load-bearing: Mosaic's DEFAULT lowering of an
+    f32 dot_general on the TPU MXU uses bf16 passes (measured max error
+    6.2e2 on ~1.9e5-magnitude products vs 1.8e-2 at HIGHEST -- the
+    kernel was NOT "exact f32" on hardware without it, interpret-mode
+    tests never see the difference, and the bf16 noise floor in the
+    dual residual kept the early exit from ever firing on TPU)."""
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
@@ -174,11 +197,13 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
         for k in range(ndim):
             r_st = jax.lax.dot_general(
                 U[k], w3[k], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (nf, B)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)     # (nf, B)
             vk = red_c(nscs[k] * w_pl)                   # (MI, B)
             r_pl = jax.lax.dot_general(
                 Fseg, vk, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (nf, B)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)     # (nf, B)
             parts.append(r_st + r_pl)
         return jnp.concatenate(parts, axis=0)            # (nv, B)
 
@@ -221,7 +246,7 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
             axis=0)
 
     def iteration(carry):
-        (it, _, y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl, su, plv,
+        (it, _, done, y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl, su, plv,
          r_d) = carry
         rp_sp = su - s_sp - bs[0]
         rp_sm = -su - s_sm - bs[1]
@@ -234,7 +259,13 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
         ridge = reg * jnp.maximum(_rowsum(diag) / nv, 1.0)   # (B,)
         dsc = jax.lax.rsqrt(diag + ridge[None, :])           # (nv, B)
         Hs = H * dsc[:, None, :] * dsc[None, :, :]
-        Hs = jnp.where(di, 1.0, Hs)       # exact unit diagonal (w/ ridge)
+        # dynamic regularization on the scaled unit diagonal: bounds the
+        # condition number of the factorization at ~1e6 so f32 pivots
+        # stay positive through the interior-point endgame (D spreads of
+        # ~1e12 otherwise push trailing pivots negative and the
+        # direction turns to garbage); the 1e-6 bias is far below
+        # solution accuracy (standard static+dynamic IPM regularization)
+        Hs = jnp.where(di, 1.0 + 1e-6, Hs)
         _chol_into(l_scr, Hs, nv)
 
         def kkt(rc_sp, rc_sm, rc_pl):
@@ -317,9 +348,15 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
         # previous (warm-started, feasible) iterate.  A degenerate step
         # surfaces in dy (hence y_n) or the step lengths; full-buffer
         # isfinite sweeps over s/lam would cost ~9M VPU ops per tile.
+        # The per-lane `done` LATCH rides the same mask: once a lane has
+        # satisfied the full exit triple it FREEZES -- iterating a
+        # converged warm-started lane past its f32 fixed point is not
+        # neutral (observed on TPU: mu gets driven to ~1e-12, centering
+        # dies, and duals of active rows decay until the true dual
+        # residual is O(100) while complementarity still looks perfect).
         ok = (_rowsum(jnp.where(jnp.isfinite(y_n), 0.0, 1.0)) == 0.0) & \
             jnp.isfinite(a_p) & jnp.isfinite(a_d) & \
-            jnp.isfinite(mu_aff) & jnp.isfinite(sigma)
+            jnp.isfinite(mu_aff) & jnp.isfinite(sigma) & (done < 0.5)
 
         def sel(a, b):
             shape = (1,) * (a.ndim - 1) + (B,)
@@ -358,22 +395,32 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
         # the jerk-Gram sigma; at congested scales the f32 r_d noise
         # floor exceeds tol_rd and the cap soundly governs)
         rdm = _rowmax(jnp.abs(rd_n))
-        lane_done = (valid < 0.5) | \
+        lane_done = (valid < 0.5) | (done > 0.5) | \
             (ok & (mu_n < tol_gap * sig) & (rpm < tol_rp) &
              (rdm < tol_rd))
-        conv = (jnp.min(jnp.where(lane_done, 1.0, 0.0)) > 0.5)\
-            .astype(jnp.int32)
+        done_n = jnp.where(lane_done, 1.0, 0.0)
+        conv = (jnp.min(done_n) > 0.5).astype(jnp.int32)
+        if _IPM_DEBUG:
+            live = valid > 0.5
+            jax.debug.print(
+                "k it={i} mu={m:.2e} tolg={t:.2e} rpm={p:.2e} "
+                "rdm={d:.2e} conv={c}", i=it,
+                m=jnp.max(jnp.where(live, mu_n, 0.0)),
+                t=jnp.max(jnp.where(live, tol_gap * sig, 0.0)),
+                p=jnp.max(jnp.where(live, rpm, 0.0)),
+                d=jnp.max(jnp.where(live, rdm, 0.0)), c=conv)
 
-        return (it + 1, conv, y_n, s_sp_n, s_sm_n, s_pl_n,
+        return (it + 1, conv, done_n, y_n, s_sp_n, s_sm_n, s_pl_n,
                 l_sp_n, l_sm_n, l_pl_n, su_n, plv_n, rd_n)
 
     rd0 = Py(y) + q - rmv(l_sp - l_sm, l_pl)
+    done0 = jnp.where(valid < 0.5, 1.0, 0.0)        # pad lanes pre-done
     carry = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-             y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl, su0, pl0, rd0)
+             done0, y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl, su0, pl0, rd0)
     carry = jax.lax.while_loop(
         lambda c: jnp.logical_and(c[0] < iters, c[1] == 0),
         iteration, carry)
-    it, _, y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl = carry[:9]
+    it, _, _, y, s_sp, s_sm, s_pl, l_sp, l_sm, l_pl = carry[:10]
 
     y_ref[:] = y
     lam_s_ref[0] = l_sp

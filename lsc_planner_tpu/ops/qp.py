@@ -43,6 +43,10 @@ import jax.numpy as jnp
 
 # LSC_QP_DEBUG=1: per-iteration exit-signal trace from _ipm
 _QP_DEBUG = bool(os.environ.get("LSC_QP_DEBUG"))
+# LSC_QP_TRACE=1: eager per-iteration trace (Python loop instead of
+# while_loop; works on backends without debug callbacks, e.g. the axon
+# TPU tunnel).  Diagnostic only -- do not jit the caller.
+_QP_TRACE = bool(os.environ.get("LSC_QP_TRACE"))
 
 
 class QPSolution(NamedTuple):
@@ -53,6 +57,9 @@ class QPSolution(NamedTuple):
     gap: jnp.ndarray        # (...,)   complementarity mu
     warm_res: jnp.ndarray = None   # (...,) warm-start max violation
     warm_row: jnp.ndarray = None   # (...,) argmax row of the above
+    iters: jnp.ndarray = None      # () or (...,) IPM iterations consumed
+                                   # (observability: proves whether the
+                                   # early exit fired or the cap governed)
 
 
 def _masked(A, b, mask):
@@ -188,7 +195,7 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
         return jnp.minimum(1.0, tau * alpha)
 
     def body(carry):
-        it, _, y, lam, s = carry
+        it, _, done_i, y, lam, s = carry
         Ay = mv(y)
         r_d = jnp.einsum("...vw,...w->...v", P, y) + q - rmv(lam)
         r_p = Ay - s - b
@@ -209,11 +216,19 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
         # converged f32 iterate jitters in a ~1-2.5 cm band forever, and
         # accepting that band as "converged" compounds into 30-50 %
         # longer flights in octomap worlds.)
-        done = jnp.all((mu < tol_gap * tscale) &
-                       (jnp.max(jnp.abs(r_p), axis=-1) < tol_rp) &
-                       (jnp.max(jnp.abs(r_d), axis=-1) < tol_rd)) \
-            if (tol_gap > 0.0 and tol_rp > 0.0 and tol_rd > 0.0) \
-            else jnp.asarray(False)
+        # Per-instance convergence LATCH: a converged instance freezes
+        # instead of riding to the cap -- iterating a warm-started
+        # instance past its f32 fixed point degrades it (measured on
+        # TPU: centering dies, duals of active rows decay, true dual
+        # residual grows to O(100) while complementarity stays perfect).
+        if tol_gap > 0.0 and tol_rp > 0.0 and tol_rd > 0.0:
+            inst_done = ((mu < tol_gap * tscale) &
+                         (jnp.max(jnp.abs(r_p), axis=-1) < tol_rp) &
+                         (jnp.max(jnp.abs(r_d), axis=-1) < tol_rd))
+            done_i = done_i | inst_done
+            done = jnp.all(done_i)
+        else:
+            done = jnp.asarray(False)
         if _QP_DEBUG:
             jax.debug.print(
                 "it={i} mu_max={m:.2e} gap_tol_max={g:.2e} rp={p:.2e} "
@@ -317,22 +332,41 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
               jnp.all(jnp.isfinite(lam_n), axis=-1) &
               (jnp.max(jnp.abs(y_n), axis=-1) < 1e10) &
               (jnp.max(lam_n, axis=-1) < 1e12))
+        ok = ok & jnp.logical_not(done_i)
         y = jnp.where(ok[..., None], y_n, y)
         s = jnp.where(ok[..., None], s_n, s)
         lam = jnp.where(ok[..., None], lam_n, lam)
-        return (it + 1, done, y, lam, s)
+        return (it + 1, done, done_i, y, lam, s)
 
-    carry = (jnp.zeros((), jnp.int32), jnp.asarray(False), y0, lam0, s0)
-    _, _, y, lam, s = jax.lax.while_loop(
-        lambda c: jnp.logical_and(c[0] < iters, jnp.logical_not(c[1])),
-        body, carry)
+    carry = (jnp.zeros((), jnp.int32), jnp.asarray(False),
+             jnp.zeros(P.shape[:-2], bool), y0, lam0, s0)
+    if _QP_TRACE:
+        import numpy as _np
+        for _i in range(iters):
+            carry = body(carry)
+            _, _, _, y_t, lam_t, s_t = carry
+            r_d_t = _np.asarray(jnp.einsum("...vw,...w->...v", P, y_t)
+                                + q - rmv(lam_t))
+            mu_t = _np.asarray(jnp.mean(s_t * lam_t, axis=-1))
+            r_p_t = _np.asarray(mv(y_t) - s_t - b)
+            rd_pa = _np.max(_np.abs(r_d_t), axis=-1)
+            print(f"T it={_i} mu={mu_t.max():.2e} "
+                  f"rp={_np.abs(r_p_t).max():.2e} "
+                  f"rd={rd_pa.max():.2e} "
+                  f"rd_agents={_np.round(rd_pa, 3)}", flush=True)
+        it_used, _, _, y, lam, s = carry
+    else:
+        it_used, _, _, y, lam, s = jax.lax.while_loop(
+            lambda c: jnp.logical_and(c[0] < iters, jnp.logical_not(c[1])),
+            body, carry)
 
     obj = 0.5 * jnp.einsum("...v,...vw,...w->...", y, P, y) + \
         jnp.einsum("...v,...v->...", q, y)
     viol = jnp.maximum(b - mv(y), 0.0)
     primal_res = jnp.max(viol, axis=-1)
     gap = jnp.mean(s * lam, axis=-1)
-    return QPSolution(y=y, lam=lam, obj=obj, primal_res=primal_res, gap=gap)
+    return QPSolution(y=y, lam=lam, obj=obj, primal_res=primal_res, gap=gap,
+                      iters=it_used)
 
 
 def solve_qp(P, q, A, b, mask=None, y0=None, iters: int = 20,
@@ -364,6 +398,20 @@ def solve_qp(P, q, A, b, mask=None, y0=None, iters: int = 20,
 
         def gram(d):
             return jnp.einsum("...rv,...r,...rw->...vw", A, d, A)
+
+        # Delta reformulation around the warm start (see solve_qp_lsc):
+        # solve for d = y - y0 so no iterate carries world-coordinate
+        # magnitudes.  Exact up to a constant objective shift; obj is
+        # recomputed at the full point below.
+        if y0 is not None:
+            q_d = q + jnp.einsum("...vw,...w->...v", P, y0)
+            b_d = b - mv(y0)
+            sol = _ipm(P, q_d, mv, rmv, gram, b_d, None, iters, reg,
+                       s_min, correctors=correctors)
+            y = y0 + sol.y
+            obj = 0.5 * jnp.einsum("...v,...vw,...w->...", y, P, y) + \
+                jnp.einsum("...v,...v->...", q, y)
+            return sol._replace(y=y, obj=obj)
 
         return _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
                     correctors=correctors)
@@ -460,7 +508,6 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
         live = mask & (row_norm >= 1e-3)
         scale = jnp.where(live, scale, 0.0)      # dead rows -> zero row
         b_pl = jnp.where(live, rhs_d * scale, -1.0)
-        b = jnp.concatenate([b_st, b_pl.reshape(N, C * M * n1)], axis=1)
 
         nsc = normal.astype(dtype)               # (N, C, M, kdim)
         kdim = normal.shape[-1]                  # 3, or 2 in 2-D mode
@@ -520,15 +567,39 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
             H_pl = H_pl + jnp.einsum("nkfg,kl->nkflg", H_blk, eye_k)
             return H_pl.reshape(N, nv, nv)
 
+        q_orig = q
+        if y0 is not None:
+            # --- delta reformulation around the warm start ---
+            # Solve for d = y - y0:  min 1/2 d'Pd + (Py0 + q)'d  s.t.
+            # A d >= b - A y0.  Exact up to a constant objective shift,
+            # but decisive for f32: iterates no longer carry the ~150 m
+            # world-coordinate magnitudes, so P@d terms are ~1e3 instead
+            # of ~1.5e6 and the dual residual r_d = P d + q_d - A'lam
+            # evaluates with a ~5e-3 noise floor instead of the ~0.4
+            # cancellation floor that kept the early exit from firing at
+            # congested swarm scales (docs/TOLERANCES_r04.md section 3).
+            # The one-time f32 rounding in q_d = P y0 + q is a CONSISTENT
+            # O(eps sigma |y0|) perturbation of the problem's gradient
+            # (solution displaced ~4e-5 m), not a per-iteration noise
+            # term.  The initial point d = 0 has the same slacks as the
+            # original warm start, so the Mehrotra trajectory is
+            # identical in exact arithmetic.
+            ay0 = mv(y0)
+            b_st = b_st - ay0[:, :R_s]
+            pl0 = ay0[:, R_s:].reshape(N, C, M, n1)
+            b_pl = jnp.where(live, b_pl - pl0, -1.0)
+            q = q + jnp.einsum("nvw,nw->nv", P, y0)
+        b = jnp.concatenate([b_st, b_pl.reshape(N, C * M * n1)], axis=1)
+
         if y0 is not None:
             # warm-start feasibility diagnostic: the LSC-shifted previous
             # solution must be feasible by construction; a violation here
             # identifies a broken constraint source upstream, not an IPM
             # failure (the IPM cannot reduce primal infeasibility below
-            # what an infeasible problem admits).
-            viol0 = b - mv(y0)
-            warm_res = jnp.max(viol0, axis=-1)
-            warm_row = jnp.argmax(viol0, axis=-1)
+            # what an infeasible problem admits).  In delta coordinates
+            # the warm point is d = 0, so its violation is b itself.
+            warm_res = jnp.max(b, axis=-1)
+            warm_row = jnp.argmax(b, axis=-1)
         else:
             warm_res = warm_row = None
 
@@ -541,14 +612,15 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
             from .ipm_pallas import ipm_lsc_fused
             bp = b_st[:, row_perm]                       # pair-major
             b_pairs = jnp.stack([bp[:, 0::2], bp[:, 1::2]], axis=1)
-            y0f = y0 if y0 is not None else jnp.zeros((N, nv), dtype)
-            y, lam_s, lam_p, gap, _it_used = ipm_lsc_fused(
-                P_blk.astype(dtype), q, y0f, U, b_pairs, nsc,
-                scale, b_pl, F_seg, sigma.astype(dtype),
+            d, lam_s, lam_p, gap, it_used = ipm_lsc_fused(
+                P_blk.astype(dtype), q, jnp.zeros((N, nv), dtype), U,
+                b_pairs, nsc, scale, b_pl, F_seg, sigma.astype(dtype),
                 iters=iters, reg=reg, s_min=s_min,
                 interpret=(fused_mode == "interpret"),
                 tol_gap=tol_gap, tol_rp=tol_rp, tol_rd=tol_rd,
                 correctors=correctors)
+            primal_res = jnp.max(jnp.maximum(b - mv(d), 0.0), axis=-1)
+            y = d if y0 is None else y0 + d
             # duals back to [static original order, plane rows]
             lam_perm = jnp.stack([lam_s[:, 0], lam_s[:, 1]],
                                  axis=-1).reshape(N, R_s)
@@ -557,15 +629,20 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
             obj = 0.5 * jnp.einsum(
                 "nkf,nfg,nkg->n", y.reshape(N, kdim, nf),
                 P_blk.astype(dtype), y.reshape(N, kdim, nf)) + \
-                jnp.einsum("nv,nv->n", q, y)
-            primal_res = jnp.max(jnp.maximum(b - mv(y), 0.0), axis=-1)
+                jnp.einsum("nv,nv->n", q_orig, y)
             return QPSolution(y=y, lam=lam, obj=obj,
                               primal_res=primal_res, gap=gap,
-                              warm_res=warm_res, warm_row=warm_row)
+                              warm_res=warm_res, warm_row=warm_row,
+                              iters=it_used)
 
-        sol = _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
+        sol = _ipm(P, q, mv, rmv, gram, b, None, iters, reg, s_min,
                    tol_gap=tol_gap, tol_rp=tol_rp, tol_rd=tol_rd,
                    tol_scale=sigma, correctors=correctors)
+        if y0 is not None:
+            y = y0 + sol.y
+            obj = 0.5 * jnp.einsum("nv,nvw,nw->n", y, P, y) + \
+                jnp.einsum("nv,nv->n", q_orig, y)
+            sol = sol._replace(y=y, obj=obj)
         return sol._replace(warm_res=warm_res, warm_row=warm_row)
 
 

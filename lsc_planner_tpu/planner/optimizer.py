@@ -58,6 +58,7 @@ class QPResult(NamedTuple):
     warm_res: Optional[jnp.ndarray] = None  # (N,) warm-start violation
     warm_row: Optional[jnp.ndarray] = None  # (N,) argmax row
     lam: Optional[jnp.ndarray] = None       # (N, nr) inequality duals
+    iters: Optional[jnp.ndarray] = None     # IPM iterations consumed
 
 
 class SlackSpec(NamedTuple):
@@ -700,4 +701,4 @@ class TrajOptimizer:
                         gap=sol.gap, y=y_sol, slack=slack_vals,
                         warm_res=getattr(sol, "warm_res", None),
                         warm_row=getattr(sol, "warm_row", None),
-                        lam=sol.lam)
+                        lam=sol.lam, iters=getattr(sol, "iters", None))

@@ -75,20 +75,29 @@ def test_f32_matches_f64_single_cycle():
     # measures truncation, not precision
     p = Param(goal_mode=GoalMode.PRIOR_BASED, qp_iterations=14,
               qp_tol_gap=0.0)
-    trajs = {}
+    trajs1 = {}
+    trajs3 = {}
     pres = {}
     for name, dt in [("f32", jnp.float32), ("f64", jnp.float64)]:
         sim = SyncSimulator(mission, p, dtype=dt)
         state = sim.initial_state()
-        for _ in range(3):
+        state, _ = sim._cycle_jit(state)
+        trajs1[name] = np.asarray(state.traj, np.float64)
+        for _ in range(2):
             state, _ = sim._cycle_jit(state)
-        trajs[name] = np.asarray(state.traj, np.float64)
+        trajs3[name] = np.asarray(state.traj, np.float64)
         pres[name] = float(np.max(np.asarray(state.primal_res)))
     # f32 is feasibility-exact (constraints hold to ~1e-7) but the dual
-    # residual hits a cancellation floor at the jerk-Gram's 1e4 scale, so
-    # optimality lands at the centimetre level; f64 is the exactness path
-    err = np.abs(trajs["f32"] - trajs["f64"]).max()
-    assert err < 0.15, err
+    # residual hits a cancellation floor at the jerk-Gram scale, so
+    # optimality lands at the centimetre level; f64 is the exactness
+    # path.  The SINGLE-cycle error is the meaningful per-solve
+    # contract (4.0 cm with the round-5 delta-coordinate solve; was
+    # 5.6 cm before it); across cycles the closed loop crosses discrete
+    # priority/tie branches and only a loose sanity bound is stable.
+    err1 = np.abs(trajs1["f32"] - trajs1["f64"]).max()
+    assert err1 < 0.05, err1
+    err3 = np.abs(trajs3["f32"] - trajs3["f64"]).max()
+    assert err3 < 0.5, err3
     assert pres["f32"] < 1e-4, pres
     assert pres["f64"] < 1e-8, pres
 

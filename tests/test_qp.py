@@ -202,10 +202,22 @@ def test_fused_pallas_ipm_matches_xla_path(rng):
     np.testing.assert_allclose(np.asarray(fused.gap), np.asarray(ref.gap),
                                rtol=0.1, atol=1e-4)
     assert float(jnp.max(fused.primal_res)) < 1e-4
-    # duals of weakly-active rows converge at path-dependent f32 rates;
-    # the primal/objective checks above are the tight contract
-    np.testing.assert_allclose(np.asarray(fused.lam), np.asarray(ref.lam),
-                               rtol=0.5, atol=0.2)
+    # Individual duals on the replicated near-parallel LSC rows are
+    # NON-unique (the primal is unique since P is PD, but active rows
+    # sharing a span split their multipliers arbitrarily, and each f32
+    # path picks its own split -- observed 13% differences in even the
+    # summed duals at identical primal solutions).  The well-defined
+    # dual contracts: nonnegativity, and agreement on which rows are
+    # STRONGLY active (dual mass >> the complementarity level).
+    lam_f = np.asarray(fused.lam)
+    lam_r = np.asarray(ref.lam)
+    assert (lam_f > -1e-6).all() and (lam_r > -1e-6).all()
+    thr = 10.0 * max(float(np.asarray(fused.gap).max()),
+                     float(np.asarray(ref.gap).max()), 1e-6)
+    act_f = lam_f > thr
+    act_r = lam_r > thr
+    # allow a knife-edge row or two per instance at the threshold
+    assert (act_f ^ act_r).sum() <= 0.02 * act_f.size
 
     # --- early exit: at the production tolerances the solve must stop
     # early on this small problem yet stay primal-feasible and within
@@ -344,7 +356,9 @@ def test_gondzio_correctors_fix_degenerate_row_plateau():
                           y0=kk.get("y0"), iters=14, correctors=corr)
         gaps[corr] = float(jnp.max(sol.gap))
     # the plateau magnitude depends on the closed-loop state the capture
-    # lands on (1e-4 .. 1e-2 observed); the invariant property is the
-    # corrector's order-of-magnitude improvement at equal iterations
-    assert gaps[0] > 1e-5, f"capture not congested enough: {gaps}"
+    # lands on (1e-6 .. 1e-2 observed; the round-5 delta-coordinate
+    # reformulation of the solve shrank it by ~an order of magnitude on
+    # this capture); the invariant property is the corrector's
+    # order-of-magnitude improvement at equal iterations
+    assert gaps[0] > 2e-6, f"capture not congested enough: {gaps}"
     assert gaps[1] < gaps[0] / 10.0, gaps
