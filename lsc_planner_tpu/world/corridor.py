@@ -28,6 +28,11 @@ class CorridorBuilder:
 
     def __post_init__(self):
         self.sat = OccupancySAT.build(self.esdf, self.agent_radius)
+        # zero-margin table: RAW occupancy (cells whose center sits on an
+        # obstacle), used to vet trapped-seed box extensions -- space
+        # inside the agent-radius margin but outside actual obstacles is
+        # acceptable recovery space, physical obstacle interior is not
+        self.sat_raw = OccupancySAT.build(self.esdf, 0.0)
         res = self.esdf.resolution
         self._wmin = np.asarray(self.world_min, np.float64)
         self._wmax = np.asarray(self.world_max, np.float64)
@@ -201,17 +206,43 @@ def update_sfc(sfc_boxes, seed_points, goals, builder: CorridorBuilder,
     solution endpoints (or current positions on (re)initialization);
     initialize: (N,) bool.  Shift the window one segment and expand a new
     last-segment box; on initialize, fill all segments with the fresh box.
+
+    Trapped-seed escape is gated on ACTUAL seed-box obstruction (the
+    same SAT check expand_box would fail on), not the esdf < r + res/2
+    margin heuristic alone -- the heuristic also fires for legitimately
+    safe wall-hugging seeds whose lattice box is free, and escaping
+    those needlessly perturbs their corridors.  The escaped box is then
+    extended back to the held endpoint per axis, and the extension is
+    vetted against RAW occupancy: space inside the agent-radius margin
+    (where the trapped agent already is) is acceptable recovery space,
+    but if the extension would cross actual obstacle interior the
+    update falls back to keep-previous-window.
     """
     N, M = sfc_boxes.shape[:2]
-    seeds, trapped = escape_seeds(builder, seed_points)
-    bmin, bmax, ok = builder.expand_boxes(seeds, goals)
-    # a trapped agent's escaped box need not contain the held endpoint;
-    # extend it by the (mm-scale) sliver back to where the agent already
-    # is, so the hold trajectory stays feasible and recovery can start
-    bmin = jnp.where(trapped[:, None],
-                     jnp.minimum(bmin, seed_points), bmin)
-    bmax = jnp.where(trapped[:, None],
-                     jnp.maximum(bmax, seed_points), bmax)
+    res = builder.esdf.resolution
+
+    lo0, hi0 = builder.initial_box(seed_points)
+    seed_obstructed = builder._obstructed(lo0, hi0)          # (N,)
+    seeds, margin_trapped = escape_seeds(builder, seed_points)
+    trapped = seed_obstructed & margin_trapped
+    use_seeds = jnp.where(trapped[:, None], seeds, seed_points)
+    bmin, bmax, ok = builder.expand_boxes(use_seeds, goals)
+
+    # per-axis minimal extension back to the held endpoint, so the hold
+    # trajectory stays feasible and recovery can start
+    ext_min = jnp.where(trapped[:, None],
+                        jnp.minimum(bmin, seed_points), bmin)
+    ext_max = jnp.where(trapped[:, None],
+                        jnp.maximum(bmax, seed_points), bmax)
+    # raw-occupancy vet of the extended box (cells overlapping it)
+    k0 = jnp.asarray(builder.sat_raw.origin_key, jnp.int32)
+    cell_lo = jnp.floor(ext_min / res + SP_EPSILON).astype(jnp.int32) - k0
+    cell_hi = (jnp.ceil(ext_max / res - SP_EPSILON)
+               .astype(jnp.int32) - 1) - k0
+    raw_hit = builder.sat_raw._box_count(cell_lo, cell_hi) > 0
+    ok = ok & (~trapped | ~raw_hit)
+    bmin, bmax = ext_min, ext_max
+
     new_box = jnp.concatenate([bmin, bmax], axis=-1)          # (N, 6)
     shifted = jnp.concatenate([sfc_boxes[:, 1:], new_box[:, None]], axis=1)
     filled = jnp.broadcast_to(new_box[:, None], (N, M, 6))
