@@ -11,17 +11,34 @@ with CPLEX (avg over multi_square16, /root/reference/log/
 summary_LSC_16agents.csv), i.e. ~105.6 agent-cycles/s/core.
 vs_baseline = our agent-cycles/s/chip divided by that.
 
-SELF-GATING: BASELINE.md's condition is throughput at the same 100 %
-success rate.  Each size reports its own min inter-agent safety ratio
-(device audit, sim/audit.py); if the headline configuration records
-min_safety < 1.0 the run is a FAILURE and vs_baseline is reported as 0.
+ONE SOLVER CONFIG: every size runs the framework DEFAULT solver
+(cap 40 + exit triple + step-collapse latch + 1 Gondzio corrector) --
+the same config scripts/run_corpus.py validates end-to-end.  The
+round-4 bench/corpus cap split (10 vs 40) is gone: per-lane exits and
+the f32 fixed-point latch make the cap self-limiting (measured 20-30
+iterations at the deepest 1024-agent congestion, fewer elsewhere).
 
-Three latency/throughput views per size, reported separately:
+SELF-GATING: BASELINE.md's condition is throughput at the same 100 %
+success rate.  Each size and each measurement method reports its own
+min inter-agent safety ratio (device audit, sim/audit.py); if the
+headline configuration records min_safety < 1.0 the run is a FAILURE
+and vs_baseline is reported as 0.  The audit itself is proven exact-f32
+on the real backend once per run (audit.precision_self_check) before
+any of those numbers are believed.
+
+Per size, THREE latency/throughput views measured from the SAME
+early-congestion snapshot (so all methods time the same mission phase),
+plus one steady-phase fused measurement:
   cycle_p50/p99_ms        blocking dispatch latency (includes the remote
                           TPU tunnel RTT, ~25 ms on this host)
   pipelined_*             back-to-back dispatches, queue kept full
   fused_*                 k cycles per dispatch via lax.scan
-The headline picks the best method and names it (headline_method).
+  fused_steady_*          the same fused measurement taken AFTER the
+                          crossing resolves (cruising swarm) -- the
+                          phase round-2 measured, quantifying how much
+                          of the r2->r4 small-swarm delta was bench
+                          methodology rather than regression
+The headline picks the best same-phase method and names it.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -36,7 +53,7 @@ BASELINE_AGENT_CYCLES_PER_S = 1.0 / 0.00947   # reference CPLEX single-core
 
 def bench_size(qn: int, cycles: int = 30, warmup: int = 10,
                max_neighbors: int = -1, fuse: int = 10,
-               qp_iterations: int = None):
+               steady_cycles: int = 60):
     import jax
     from lsc_planner_tpu.runtime import enable_compilation_cache
     enable_compilation_cache()
@@ -49,34 +66,34 @@ def bench_size(qn: int, cycles: int = 30, warmup: int = 10,
     w = radius + 2.0
     mission = make_circle_mission(qn, radius=radius,
                                   world=(-w, -w, 0, w, w, 2.5))
-    kw = {} if qp_iterations is None else {"qp_iterations": qp_iterations}
     param = Param(goal_mode=GoalMode.PRIOR_BASED,
-                  max_neighbors=max_neighbors, **kw)
+                  max_neighbors=max_neighbors)
     sim = SyncSimulator(mission, param, dtype=jnp.float32)
     state = sim.initial_state()
-    # warmup + compile, into the early-congestion phase; EVERY
-    # measurement below restarts from this snapshot so blocking /
-    # pipelined / fused all time the SAME mission phase (measuring them
-    # back-to-back lets the swarm reach its goals mid-bench and the last
-    # method times a parked swarm's trivially-converged QPs)
+    # warmup + compile, into the early-congestion phase; the blocking /
+    # pipelined / fused measurements below all restart from this
+    # snapshot so they time the SAME mission phase
     for _ in range(warmup):
         state, info = sim._cycle_jit(state)
     state.traj.block_until_ready()
     snapshot = state
+    safety0 = float(state.safety_agent_min)
 
-    times = []
-    knn_overflow_max = 0
-    for _ in range(cycles):
-        t0 = time.perf_counter()
-        state, info = sim._cycle_jit(state)
-        state.traj.block_until_ready()
-        times.append(time.perf_counter() - t0)
-        if getattr(info, "knn_overflow", None) is not None:
-            knn_overflow_max = max(knn_overflow_max, int(np.asarray(
-                info.knn_overflow).sum()))
-    times = np.asarray(times)
-    min_safety = float(state.safety_agent_min)
-    ok = bool(np.isfinite(np.asarray(state.pos)).all())
+    def run_blocking(st):
+        times = []
+        overflow = 0
+        for _ in range(cycles):
+            t0 = time.perf_counter()
+            st, info = sim._cycle_jit(st)
+            st.traj.block_until_ready()
+            times.append(time.perf_counter() - t0)
+            if getattr(info, "knn_overflow", None) is not None:
+                overflow = max(overflow, int(np.asarray(
+                    info.knn_overflow).sum()))
+        return st, np.asarray(times), overflow
+
+    state_b, times, knn_overflow_max = run_blocking(snapshot)
+    safety_blocking = float(state_b.safety_agent_min)
 
     # pipelined throughput: back-to-back receding-horizon cycles with the
     # dispatch queue kept full (blocking once at the end).  Per-cycle
@@ -84,29 +101,48 @@ def bench_size(qn: int, cycles: int = 30, warmup: int = 10,
     # not the device; production serving pipelines cycles exactly like
     # this.
     reps = min(40, cycles)
-    state2 = snapshot
+    st = snapshot
     t0 = time.perf_counter()
     for _ in range(reps):
-        state2, _ = sim._cycle_jit(state2)
-    state2.traj.block_until_ready()
+        st, _ = sim._cycle_jit(st)
+    st.traj.block_until_ready()
     pipelined = (time.perf_counter() - t0) / reps
-    min_safety = min(min_safety, float(state2.safety_agent_min))
+    safety_pipelined = float(st.safety_agent_min)
 
     # fused: `fuse` cycles per device dispatch (lax.scan) -- amortizes
-    # per-dispatch host work on top of pipelining.  Reported SEPARATELY
-    # from the pipelined number (different measurement methodologies).
+    # per-dispatch host work on top of pipelining.
     multi = sim.make_scan_cycle(fuse)
-    state3, _ = multi(snapshot)       # compile + warm
-    state3.traj.block_until_ready()
+    st, _ = multi(snapshot)       # compile + warm
+    st.traj.block_until_ready()
     ftimes = []
     for _ in range(3):
         t0 = time.perf_counter()
-        state3, _ = multi(state3)
-        state3.traj.block_until_ready()
+        st, _ = multi(st)
+        st.traj.block_until_ready()
         ftimes.append((time.perf_counter() - t0) / fuse)
     fused = float(np.median(ftimes))
-    min_safety = min(min_safety, float(state3.safety_agent_min))
-    ok = ok and bool(np.isfinite(np.asarray(state3.pos)).all())
+    safety_fused = float(st.safety_agent_min)
+
+    # steady-phase fused: advance past the crossing, then re-measure --
+    # the phase the round-2 bench measured
+    st = state_b
+    for _ in range(steady_cycles):
+        st, _ = sim._cycle_jit(st)
+    st.traj.block_until_ready()
+    st, _ = multi(st)
+    st.traj.block_until_ready()
+    stimes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st, _ = multi(st)
+        st.traj.block_until_ready()
+        stimes.append((time.perf_counter() - t0) / fuse)
+    fused_steady = float(np.median(stimes))
+    safety_steady = float(st.safety_agent_min)
+
+    finite = bool(np.isfinite(np.asarray(st.pos)).all())
+    min_safety = min(safety_blocking, safety_pipelined, safety_fused,
+                     safety_steady)
     return {
         "qn": qn,
         "cycle_p50_ms": float(np.percentile(times, 50) * 1e3),
@@ -116,13 +152,21 @@ def bench_size(qn: int, cycles: int = 30, warmup: int = 10,
         "pipelined_agent_cycles_per_s": float(qn / pipelined),
         "fused_cycle_ms": fused * 1e3,
         "fused_agent_cycles_per_s": float(qn / fused),
+        "fused_steady_cycle_ms": fused_steady * 1e3,
+        "fused_steady_agent_cycles_per_s": float(qn / fused_steady),
         "steps_per_dispatch": fuse,
         "max_neighbors": max_neighbors,
-        "qp_iterations": qp_iterations or "default",
+        "solver_config": "default (cap 40, exit triple + step latch, "
+                         "1 corrector)",
         "knn_overflow_max": knn_overflow_max,
-        "finite": ok,
+        "finite": finite,
+        "min_safety_warmup": safety0,
+        "min_safety_blocking": safety_blocking,
+        "min_safety_pipelined": safety_pipelined,
+        "min_safety_fused": safety_fused,
+        "min_safety_fused_steady": safety_steady,
         "min_safety": min_safety,
-        "success": ok and min_safety >= 1.0,
+        "success": finite and min_safety >= 1.0,
     }
 
 
@@ -183,24 +227,9 @@ def main():
     # rather than silently reporting phantom safety numbers.
     from lsc_planner_tpu.sim import audit as _audit
     results["audit_precision_err_m"] = _audit.precision_self_check()
-    # Per-scenario solver caps: the framework default (40 + early exit
-    # + 1 Gondzio corrector) is what the corpus validates end-to-end;
-    # the benched circle exchanges are AUDIT-VALIDATED safe at cap 14
-    # across rounds (min safety 1.01-1.14 at every size) and the
-    # self-gate below voids the claim if that ever regresses.  Why the
-    # bifurcation persists (docs/TOLERANCES_r04.md): in f32 the
-    # cancellation floor of the dual residual at congested swarm scales
-    # sits above any sound exit tolerance, so the exit deliberately
-    # does not fire there and the cap is the honest cost knob.  Cap 10
-    # WITH the default Gondzio corrector costs the same as r3's
-    # corrector-less cap 14 (+37 %/iteration) and converges strictly
-    # better (the r3 gap plateau is gone at 10 iterations; circle20
-    # endgame quality is identical at caps 10/14/20/40).
-    for qn, nbrs, iters in ((16, -1, 10), (64, -1, 10),
-                            (1024, 32, 10)):
+    for qn, nbrs in ((16, -1), (64, -1), (1024, 32)):
         try:
-            results[str(qn)] = bench_size(qn, max_neighbors=nbrs,
-                                          qp_iterations=iters)
+            results[str(qn)] = bench_size(qn, max_neighbors=nbrs)
         except Exception as e:  # keep the bench robust: report what ran
             results[str(qn)] = {"error": f"{type(e).__name__}: {e}"}
     _emit(results)

@@ -196,15 +196,29 @@ class Param:
     # (Mehrotra collapses mu first) -- exiting there freezes the agent
     # (the round-3 endgame-stall regression).  qp_tol_rd is ABSOLUTE in
     # raw objective-gradient units: the stale-point residual is the
-    # goal-pull force ~ 2 w_t dist (O(1) and independent of the
-    # jerk-Gram scale), while the f32 noise floor of evaluating r_d at
-    # the raw ~1e4 P scale is ~0.02 -- 0.05 separates them ~40x in both
-    # directions.  Setting any tolerance to 0 disables early exit
-    # (fixed iteration count; used by tests that need cross-path
-    # determinism).
+    # goal-pull force ~ 2 w_t dist, and with the distance-scaled
+    # terminal weight (w_t = clip(w/dist, w, 10w)) it stays >= ~2 for
+    # any unfinished agent.  The f32 floor of EVALUATING r_d at a
+    # converged iterate (delta-coordinate solve) is ~0.03 on CPU and
+    # ~0.1-0.15 on TPU (bf16x6 'highest' emulation constants); 0.2
+    # sits above the TPU floor with a ~10x margin to the stale signal.
+    # Measured round 5 on captured production instances: the fused
+    # kernel exits at 9/40 iterations at tol_rd in [0.15, 1.0] and
+    # never below 0.15 on TPU.  Setting any tolerance to 0 disables
+    # early exit (fixed iteration count; used by tests that need
+    # cross-path determinism).
     qp_tol_gap: float = 1e-6
     qp_tol_rp: float = 1e-4
-    qp_tol_rd: float = 0.05
+    qp_tol_rd: float = 0.2
+    # f32 fixed-point step tolerance: with gap + primal converged, a
+    # lane whose applied primal step fell below this (metres in
+    # control-point deltas; the observed f32 jitter band is 1-2.5 cm,
+    # this sits 10-25x under it) is latched even when r_d cannot be
+    # certified -- at 1024-agent congestion the r_d evaluation floor
+    # exceeds 4 raw units for fully-converged lanes (dual magnitudes
+    # scale it), and iterating past the fixed point is what DEGRADES
+    # iterates, not what improves them.
+    qp_tol_step: float = 1e-3
     # Gondzio centrality correctors per IPM iteration (0 = plain
     # Mehrotra).  The LSC structure replicates each neighbour's plane
     # over ~M(n+1) near-identical rows whose degenerate duals stall

@@ -125,7 +125,7 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
                 *, iters: int, ndim: int, nf: int, Ru: int, C: int,
                 M: int, n1: int, reg: float, s_min: float,
                 tol_gap: float, tol_rp: float, tol_rd: float,
-                correctors: int):
+                tol_step: float, correctors: int):
     """One lane tile (B agents in lanes) of the full IPM solve.
 
     Tile shapes (B = lanes).  All plane-row buffers are FLAT 2-D
@@ -337,6 +337,9 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
             a_p = a_p2 * better + a_p * nb
             a_d = a_d2 * better + a_d * nb
 
+        # f32 fixed-point detector: the primal step this iteration
+        # actually applies, per lane
+        step_disp = a_p * _rowmax(jnp.abs(dy))
         y_n = y + a_p[None, :] * dy
         s_sp_n = jnp.maximum(s_sp + a_p * ds[0], 1e-12)
         s_sm_n = jnp.maximum(s_sm + a_p * ds[1], 1e-12)
@@ -395,9 +398,21 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
         # the jerk-Gram sigma; at congested scales the f32 r_d noise
         # floor exceeds tol_rd and the cap soundly governs)
         rdm = _rowmax(jnp.abs(rd_n))
+        # A lane is done when complementarity + primal feasibility hold
+        # AND either the dual residual certifies stationarity or the
+        # applied step has collapsed below tol_step.  The step clause is
+        # the f32 fixed-point detector: the r_d EVALUATION has a noise
+        # floor that grows with the dual magnitudes (>= 4 raw units at
+        # 1024-agent congestion even for fully-converged lanes), so a
+        # lane that cannot certify r_d would otherwise iterate past its
+        # fixed point and DEGRADE (centering dies, active-row duals
+        # decay -- the same pathology the latch exists to stop).  A
+        # tiny applied step with mu/r_p converged means continued
+        # iteration provably cannot improve the iterate; freezing it is
+        # strictly better than the degradation that follows.
         lane_done = (valid < 0.5) | (done > 0.5) | \
             (ok & (mu_n < tol_gap * sig) & (rpm < tol_rp) &
-             (rdm < tol_rd))
+             ((rdm < tol_rd) | (step_disp < tol_step)))
         done_n = jnp.where(lane_done, 1.0, 0.0)
         conv = (jnp.min(done_n) > 0.5).astype(jnp.int32)
         if _IPM_DEBUG:
@@ -433,13 +448,14 @@ def _ipm_kernel(Pb_ref, q_ref, y0_ref, U_ref, UU_ref, bs_ref, nsc_ref,
 
 @partial(jax.jit, static_argnames=("iters", "reg", "s_min", "interpret",
                                    "block_b", "tol_gap", "tol_rp",
-                                   "tol_rd", "correctors"))
+                                   "tol_rd", "tol_step", "correctors"))
 def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
                   sigma=None,
                   iters: int = 14, reg: float = 1e-8, s_min: float = 1.0,
                   interpret: bool = False, block_b: int = 128,
                   tol_gap: float = 1e-3, tol_rp: float = 1e-4,
-                  tol_rd: float = 0.05, correctors: int = 0):
+                  tol_rd: float = 0.05, tol_step: float = 0.0,
+                  correctors: int = 0):
     """Solve the whole swarm's LSC QPs in one fused Pallas launch.
 
     P_blk (N, nf, nf); q/y0 (N, nv); U (ndim, Ru, nf) pre-scaled unique
@@ -518,7 +534,8 @@ def ipm_lsc_fused(P_blk, q, y0, U, b_pairs, nsc, scale, b_pl, F_seg,
     y_l, lam_s_l, lam_p_l, gap_l = pl.pallas_call(
         partial(_ipm_kernel, iters=iters, ndim=ndim, nf=nf, Ru=Ru, C=C,
                 M=M, n1=n1, reg=reg, s_min=s_min, tol_gap=tol_gap,
-                tol_rp=tol_rp, tol_rd=tol_rd, correctors=correctors),
+                tol_rp=tol_rp, tol_rd=tol_rd, tol_step=tol_step,
+                correctors=correctors),
         grid=grid,
         in_specs=[bspec((nf, nf)), bspec((nv,)), bspec((nv,)),
                   sspec((ndim, Ru, nf)), sspec((ndim, nf * nf, Ru)),

@@ -134,7 +134,8 @@ def _chol_solve(L, rhs):
 
 def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
          tol_gap: float = 0.0, tol_rp: float = 0.0,
-         tol_rd: float = 0.0, tol_scale=None, correctors: int = 0):
+         tol_rd: float = 0.0, tol_scale=None, correctors: int = 0,
+         tol_step: float = 0.0):
     """Shared Mehrotra predictor-corrector core.
 
     mv(y) -> (N, nr) = A y;  rmv(w) -> (N, nv) = A^T w;
@@ -195,7 +196,7 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
         return jnp.minimum(1.0, tau * alpha)
 
     def body(carry):
-        it, _, done_i, y, lam, s = carry
+        it, _, done_i, prev_step, y, lam, s = carry
         Ay = mv(y)
         r_d = jnp.einsum("...vw,...w->...v", P, y) + q - rmv(lam)
         r_p = Ay - s - b
@@ -222,9 +223,16 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
         # TPU: centering dies, duals of active rows decay, true dual
         # residual grows to O(100) while complementarity stays perfect).
         if tol_gap > 0.0 and tol_rp > 0.0 and tol_rd > 0.0:
+            # stationarity certified by r_d, OR the previous applied
+            # step collapsed (the f32 fixed-point detector -- see the
+            # fused kernel's lane_done for why this clause is needed:
+            # the r_d evaluation floor grows with dual magnitudes and
+            # a lane that cannot certify r_d degrades if iterated past
+            # its fixed point)
+            stat = (jnp.max(jnp.abs(r_d), axis=-1) < tol_rd) | \
+                (prev_step < tol_step)
             inst_done = ((mu < tol_gap * tscale) &
-                         (jnp.max(jnp.abs(r_p), axis=-1) < tol_rp) &
-                         (jnp.max(jnp.abs(r_d), axis=-1) < tol_rd))
+                         (jnp.max(jnp.abs(r_p), axis=-1) < tol_rp) & stat)
             done_i = done_i | inst_done
             done = jnp.all(done_i)
         else:
@@ -333,18 +341,21 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
               (jnp.max(jnp.abs(y_n), axis=-1) < 1e10) &
               (jnp.max(lam_n, axis=-1) < 1e12))
         ok = ok & jnp.logical_not(done_i)
+        step_disp = jnp.where(ok, a_p * jnp.max(jnp.abs(dy), axis=-1),
+                              0.0)
         y = jnp.where(ok[..., None], y_n, y)
         s = jnp.where(ok[..., None], s_n, s)
         lam = jnp.where(ok[..., None], lam_n, lam)
-        return (it + 1, done, done_i, y, lam, s)
+        return (it + 1, done, done_i, step_disp, y, lam, s)
 
     carry = (jnp.zeros((), jnp.int32), jnp.asarray(False),
-             jnp.zeros(P.shape[:-2], bool), y0, lam0, s0)
+             jnp.zeros(P.shape[:-2], bool),
+             jnp.full(P.shape[:-2], jnp.inf, dtype), y0, lam0, s0)
     if _QP_TRACE:
         import numpy as _np
         for _i in range(iters):
             carry = body(carry)
-            _, _, _, y_t, lam_t, s_t = carry
+            _, _, _, _, y_t, lam_t, s_t = carry
             r_d_t = _np.asarray(jnp.einsum("...vw,...w->...v", P, y_t)
                                 + q - rmv(lam_t))
             mu_t = _np.asarray(jnp.mean(s_t * lam_t, axis=-1))
@@ -354,9 +365,9 @@ def _ipm(P, q, mv, rmv, gram, b, y0, iters, reg, s_min,
                   f"rp={_np.abs(r_p_t).max():.2e} "
                   f"rd={rd_pa.max():.2e} "
                   f"rd_agents={_np.round(rd_pa, 3)}", flush=True)
-        it_used, _, _, y, lam, s = carry
+        it_used, _, _, _, y, lam, s = carry
     else:
-        it_used, _, _, y, lam, s = jax.lax.while_loop(
+        it_used, _, _, _, y, lam, s = jax.lax.while_loop(
             lambda c: jnp.logical_and(c[0] < iters, jnp.logical_not(c[1])),
             body, carry)
 
@@ -422,7 +433,8 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
                  s_min: float = 1.0, static_blocks=None,
                  P_blk=None, fused_mode: str = "auto",
                  tol_gap: float = 1e-3, tol_rp: float = 1e-4,
-                 tol_rd: float = 0.05, correctors: int = 0
+                 tol_rd: float = 0.05, tol_step: float = 0.0,
+                 correctors: int = 0
                  ) -> QPSolution:
     """Factored-row QP solve for the production LSC/SFC path.
 
@@ -618,7 +630,7 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
                 iters=iters, reg=reg, s_min=s_min,
                 interpret=(fused_mode == "interpret"),
                 tol_gap=tol_gap, tol_rp=tol_rp, tol_rd=tol_rd,
-                correctors=correctors)
+                tol_step=tol_step, correctors=correctors)
             primal_res = jnp.max(jnp.maximum(b - mv(d), 0.0), axis=-1)
             y = d if y0 is None else y0 + d
             # duals back to [static original order, plane rows]
@@ -637,7 +649,8 @@ def solve_qp_lsc(P, q, A_st, b_st, normal, rhs, mask, F_seg,
 
         sol = _ipm(P, q, mv, rmv, gram, b, None, iters, reg, s_min,
                    tol_gap=tol_gap, tol_rp=tol_rp, tol_rd=tol_rd,
-                   tol_scale=sigma, correctors=correctors)
+                   tol_scale=sigma, correctors=correctors,
+                   tol_step=tol_step)
         if y0 is not None:
             y = y0 + sol.y
             obj = 0.5 * jnp.einsum("nv,nvw,nw->n", y, P, y) + \

@@ -158,7 +158,8 @@ def make_sharded_cycle(sim: SyncSimulator, mesh: Mesh,
         best_prev = jnp.where(goal_changed, jnp.inf, state.best_goal_dist)
         stall_count, progress, progress_best, best_goal_dist = \
             _update_stall_count(state.stall_count, best_prev, state.pos,
-                                pos_l, vel_l, desired_goal_l, state.seq, p)
+                                pos_l, vel_l, desired_goal_l, state.seq, p,
+                                has_static=sim.esdf is not None)
         if p.deadlock_rescue:
             # full candidate validation as on the single chip: without
             # the ESDF/world-bounds checks a rescue waypoint can latch

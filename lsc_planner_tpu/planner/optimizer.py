@@ -555,7 +555,8 @@ class TrajOptimizer:
                 P, q, self.A_static_y, b_st, normal.astype(dtype), b_pl4,
                 mask_pl4, F_seg, y0=y_warm, iters=p.qp_iterations,
                 tol_gap=p.qp_tol_gap, tol_rp=p.qp_tol_rp,
-                tol_rd=p.qp_tol_rd, correctors=p.qp_correctors,
+                tol_rd=p.qp_tol_rd, tol_step=p.qp_tol_step,
+                correctors=p.qp_correctors,
                 s_min=p.qp_s_min,
                 static_blocks=self.static_blocked,
                 P_blk=P_dimblk[:, 0],

@@ -91,7 +91,7 @@ class CycleInfo(NamedTuple):
 
 
 def _update_stall_count(prev_count, best_prev, prev_pos, pos, vel,
-                        desired_goal, seq, p):
+                        desired_goal, seq, p, has_static=False):
     """Stall counter with progress hysteresis (shared by the single-chip
     and sharded cycles).  +1 while stalled; -1 (decay, not reset) while
     moving without closing on the goal; reset to 0 only on cycle-over-
@@ -120,6 +120,15 @@ def _update_stall_count(prev_count, best_prev, prev_pos, pos, vel,
     stalled = ((jnp.linalg.norm(vel, axis=-1)
                 < p.deadlock_velocity_threshold) &
                (dist > p.goal_threshold) & (seq > 0))
+    # Reset on plain cycle-over-cycle progress (the permissive signal;
+    # see docstring).  A watermark-based reset and a slow increment for
+    # moving-but-stagnant agents were both tried in round 5 against the
+    # multi_square16 knots and measured NEUTRAL (162 -> 162) and WORSE
+    # (162 -> 173 cycles) respectively: the knots are a corridor-
+    # mobility phenomenon, and engaging the rescue excursion earlier
+    # only adds round trips.  has_static is accepted (and ignored) so
+    # callers stay uniform.
+    del has_static
     reset = progress | (dist <= p.goal_threshold)
     count = jnp.where(reset, 0,
                       jnp.where(stalled, prev_count + 1,
@@ -795,7 +804,8 @@ class SyncSimulator:
         best_prev = jnp.where(goal_changed, jnp.inf, state.best_goal_dist)
         stall_count, progress, progress_best, best_goal_dist = \
             _update_stall_count(state.stall_count, best_prev, state.pos,
-                                pos, vel, desired_goal, state.seq, p)
+                                pos, vel, desired_goal, state.seq, p,
+                                has_static=self.esdf is not None)
         if p.deadlock_rescue:
             rescue_goal, rescue_active, rescue_phase, stall_count = \
                 _update_rescue(state, pos, desired_goal, stall_count,
