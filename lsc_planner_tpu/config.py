@@ -281,6 +281,12 @@ class Param:
     # this much in one cycle; velocity alone never resets it, so the
     # rescue push can't cancel its own escalation.
     deadlock_progress_eps: float = 0.01
+    # An ACTIVE rescue rung whose agent stays fully immobile is
+    # unreachable (outside the collapsed corridor); expire it after this
+    # many stalled cycles instead of the full engagement threshold.  A
+    # rung that moves the agent keeps velocity above the stall threshold
+    # and never trips the short clock.
+    rescue_expire_cycles: int = 2
     # float dtype used on device
     dtype: str = "float32"
 

@@ -204,7 +204,14 @@ def _update_rescue(state, pos, desired_goal, stall_count, progress, p,
     reach = jnp.minimum(gnorm, jnp.asarray(1.0, pos.dtype))   # (N, 1)
 
     over = stall_count > p.deadlock_seq_threshold
-    expire = active & over
+    # An ACTIVE rescue whose agent is still fully immobile has latched an
+    # unreachable rung; waiting the full engagement threshold again just
+    # parks the agent (measured 6 wasted cycles per dead rung on the
+    # multi_square16 knots).  Expire it on a shorter clock -- a rung that
+    # actually moves the agent keeps velocity above the stall threshold
+    # and never trips this.
+    over_r = stall_count > p.rescue_expire_cycles
+    expire = active & over_r
     active = active & ~expire
     phase_start = phase % n_cand          # 0-based first candidate to try
     # Never engage NEAR the goal: the receding-horizon final approach is
@@ -216,7 +223,7 @@ def _update_rescue(state, pos, desired_goal, stall_count, progress, p,
     # circle endgames.  True blockage that close is the priority
     # back-away rule's job, not the rescue's.
     far = gnorm[..., 0] > 0.5 * p.goal_radius
-    engage = over & ~active & far
+    engage = (over | expire) & ~active & far
     stall_count = jnp.where(engage, 0, stall_count)
 
     dirs = []
@@ -237,7 +244,24 @@ def _update_rescue(state, pos, desired_goal, stall_count, progress, p,
         # path degenerates to the agent's own cell at/near the goal)
         cands = jnp.concatenate([path_floor[..., None, :], cands],
                                 axis=-2)                      # (N, 5, 3)
-        floor_ok = jnp.linalg.norm(path_floor - pos, axis=-1) > 0.3
+        floor_vec = path_floor - pos
+        floor_norm = jnp.linalg.norm(floor_vec, axis=-1)
+        floor_ok = floor_norm > 0.3
+        # A stall means the direction the agent was chasing is blocked
+        # for the QP.  The grid-path floor only helps when it is a real
+        # DETOUR; when it points the same way as the goal it just
+        # stalled against (straight grid path), latching it freezes the
+        # agent for another expiry period (measured on both
+        # multi_square16 knot episodes).  Skip collinear floors and go
+        # straight to the rotated candidates.  state.current_goal is the
+        # goal chased LAST cycle: the planner sub-goal before a fresh
+        # engagement, or the abandoned waypoint on an expiry rotation --
+        # both exactly the direction that just failed.
+        sub_vec = state.current_goal - pos
+        denom = jnp.maximum(
+            floor_norm * jnp.linalg.norm(sub_vec, axis=-1), 1e-9)
+        cosang = jnp.sum(floor_vec * sub_vec, axis=-1) / denom
+        floor_ok = floor_ok & (cosang < 0.8)
     if world_min is not None:
         r_c = radius[..., None, None]
         cands = jnp.clip(cands, world_min + r_c, world_max - r_c)
