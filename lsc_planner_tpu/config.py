@@ -237,9 +237,18 @@ class Param:
     # lemma (see planner/constraints.lsc_planes).  The reference needs
     # no guard: CPLEX solves in f64 to ~1e-9 (traj_optimizer.cpp:31-154).
     lsc_guard_margin: float = 0.004
-    # Fused single-launch Pallas IPM dispatch: "auto" (TPU/f32),
-    # "off" (always the XLA factored-row path; diagnostic A/B switch).
+    # Fused single-launch Pallas IPM dispatch: "auto" (TPU/f32, swarms
+    # >= qp_fused_min_agents), "on" (every size), "off" (always the XLA
+    # factored-row path; diagnostic A/B switch).  Same solver contract
+    # either way; see planner/optimizer.py for the size gate rationale.
     qp_fused_mode: str = "auto"
+    # Minimum swarm size for the fused kernel under "auto": below this
+    # the per-dispatch overhead the kernel amortizes is negligible and
+    # its hardware solutions measurably trail the XLA path in downstream
+    # trajectory quality at congestion (multi_square16+forest, TPU f32,
+    # seeds {1,2,11}: fused 180-223 cycles vs XLA 147-155 -- a known
+    # round-5 gap documented in docs/TOLERANCES_r05.md).
+    qp_fused_min_agents: int = 128
     # QP failure surfacing (QPFAILED analog).  The reference throws from
     # CPLEX, dumps the model + refined conflict, and aborts the whole
     # run (traj_optimizer.cpp:99-144, multi_sync_simulator.cpp:325-327).

@@ -548,8 +548,21 @@ class TrajOptimizer:
         # (ops/ipm_pallas.py), which wins at every size.  Slack modes
         # always use dense rows.
         dense_bytes = N * C * M * (n + 1) * nv * np.dtype(dtype).itemsize
+        # Size-gated kernel dispatch ("auto"): the single-launch Pallas
+        # IPM exists to amortize per-agent dispatch/HBM traffic, which
+        # only pays off at large swarms -- and at small congested swarms
+        # its hardware solutions measurably trail the XLA factored path
+        # in downstream trajectory quality (multi_square16+forest, TPU
+        # f32, seeds {1,2,11}: fused 180-223 cycles vs XLA 147-155; see
+        # docs/TOLERANCES_r05.md).  Same solver contract (cap, exit
+        # triple, latch, correctors) either way; "auto" picks the kernel
+        # per swarm size like any size-dispatched math library.
+        # qp_fused_mode="on" forces the kernel at every size.
         fused_ok = (jax.default_backend() == "tpu" and
-                    dtype == jnp.float32 and p.qp_fused_mode != "off")
+                    dtype == jnp.float32 and
+                    (p.qp_fused_mode == "on" or
+                     (p.qp_fused_mode == "auto" and
+                      N >= p.qp_fused_min_agents)))
         if slack is None and (dense_bytes > 48 * 2 ** 20 or fused_ok):
             sol = qp_ops.solve_qp_lsc(
                 P, q, self.A_static_y, b_st, normal.astype(dtype), b_pl4,
@@ -560,7 +573,7 @@ class TrajOptimizer:
                 s_min=p.qp_s_min,
                 static_blocks=self.static_blocked,
                 P_blk=P_dimblk[:, 0],
-                fused_mode=p.qp_fused_mode)
+                fused_mode=(p.qp_fused_mode if fused_ok else "off"))
             return self._recover(sol, N, dtype, None, None, tmask,
                                  current_goal, gx3)
 

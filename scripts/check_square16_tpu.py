@@ -25,7 +25,7 @@ WORLD = "/root/reference/world/simple_forest.bt"
 
 def main():
     param = Param(goal_mode=GoalMode.PRIOR_BASED, world_use_octomap=True,
-                  qp_iterations=14, multisim_max_noise=0.02)
+                  multisim_max_noise=0.02)   # framework-default solver
     mission = load_mission(MISSION, param, rng=np.random.default_rng(11))
     esdf = ESDF.from_bt(WORLD, mission.world_min, mission.world_max,
                         dtype=jnp.float32)
