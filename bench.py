@@ -158,6 +158,7 @@ def bench_size(qn: int, cycles: int = 30, warmup: int = 10,
         "max_neighbors": max_neighbors,
         "solver_config": "default (cap 40, exit triple + step latch, "
                          "1 corrector)",
+        "qp_kernel": ("pallas-fused" if qn >= 128 else "xla-factored"),
         "knn_overflow_max": knn_overflow_max,
         "finite": finite,
         "min_safety_warmup": safety0,

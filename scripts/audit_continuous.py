@@ -32,6 +32,7 @@ def mission_path(scenario, mission, world):
     sub = {"empty": "empty", "forest": "forest", "office": "office"}[
         scenario]
     qn = mission.split("agents")[0].split("_")[-1]
+    # "0816/<name>.json" rows live in the archived 50-agent subdir
     m = f"{REF}/missions/{sub}/{qn}agents/{mission}"
     if scenario == "office":
         return m, f"{REF}/world/office.bt"
@@ -127,6 +128,12 @@ def main():
               "inter-sample collision).")
     with open(f"results/CONTINUOUS_{tag}.md", "w") as f:
         f.write("\n".join(md) + "\n")
+    with open(f"results/audit_continuous_{tag}.csv", "w",
+              newline="") as f:
+        wr = csv.DictWriter(f, list(out[0].keys()) if out else
+                            ["scenario", "mission"])
+        wr.writeheader()
+        wr.writerows(out)
     print(f"wrote results/CONTINUOUS_{tag}.md; worst={worst:.4f}")
 
 

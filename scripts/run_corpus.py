@@ -80,7 +80,14 @@ def run_one(scenario, mpath, wpath, args, param):
     from lsc_planner_tpu.sim.simulator import SyncSimulator
 
     t0 = time.perf_counter()
-    row = {"scenario": scenario, "mission": os.path.basename(mpath),
+    # missions/empty/50agents/0816/ is a DISTINCT archived mission set
+    # whose files share basenames with 50agents/ proper (both are part
+    # of the reference's recursive testall sweep, param.cpp:110-122);
+    # keep the subdir in the row key so the two sets don't collapse.
+    mname = os.path.basename(mpath)
+    if "/0816/" in mpath:
+        mname = "0816/" + mname
+    row = {"scenario": scenario, "mission": mname,
            "world": os.path.basename(wpath) if wpath else "",
            "error": ""}
     try:
